@@ -1,0 +1,85 @@
+"""Deterministic payload sniffing + charset decoding (SURVEY.md M1/M2).
+
+No chardet in this sandbox — the decision procedure below is fixed and total
+(never raises), which is exactly what byte-stable goldens need:
+
+  1. magic: ``%PDF-`` prefix → pdf; empty → empty
+  2. BOM (utf-8 / utf-16 le/be) wins
+  3. ``<meta charset=...>`` / ``http-equiv`` scan of the first 1024 bytes
+     (ASCII-case-insensitive)
+  4. strict utf-8 attempt
+  5. latin-1 fallback (total function over bytes)
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..params import PDF_MAGIC
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)|"""
+    rb"""content\s*=\s*["'][^"']*charset=([a-zA-Z0-9_\-]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    "gb2312": "gb2312",
+    "gbk": "gbk",
+    "big5": "big5",
+    "shift_jis": "shift_jis",
+    "euc-jp": "euc_jp",
+}
+
+_MARKUP_HINT_RE = re.compile(
+    rb"<\s*(?:!doctype|html|head|body|div|p\b|a\b|meta|title|h[1-6]|span|table|br)",
+    re.IGNORECASE,
+)
+
+
+def sniff_doc_type(payload: bytes) -> str:
+    """Classify raw payload bytes: html | pdf | empty | unknown (M1)."""
+    if not payload:
+        return "empty"
+    if payload.startswith(PDF_MAGIC):
+        return "pdf"
+    head = payload[:2048]
+    if _MARKUP_HINT_RE.search(head):
+        return "html"
+    return "unknown"
+
+
+def decode_html(payload: bytes) -> tuple[str, str]:
+    """Decode HTML payload bytes → (text, charset_used). Never raises (M2)."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace"), "utf-8-bom"
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        raw = (m.group(1) or m.group(2)).decode("ascii", "replace").lower()
+        codec = _CHARSET_ALIASES.get(raw)
+        if codec:
+            try:
+                return payload.decode(codec, "replace"), codec
+            except (LookupError, ValueError):  # pragma: no cover
+                pass
+    try:
+        return payload.decode("utf-8", "strict"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"

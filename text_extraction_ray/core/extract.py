@@ -1,0 +1,72 @@
+"""Single-document extraction entry point (SURVEY.md SS2.2 M1-M11).
+
+``extract_document`` is the ONE function whose output bytes are the
+engine's contract: the oracle calls it per url in a single process, the Ray
+actor pools call it per row inside Arrow batches, and both must (and do,
+by construction) agree byte-for-byte.  It is total — any internal failure
+becomes a ``parse_ok=False`` row, never an exception (M11).
+"""
+
+from __future__ import annotations
+
+from .encoding import decode_html, sniff_doc_type
+from .html_extract import extract_html
+from .pdf import extract_pdf
+
+
+def empty_result(doc_type: str, lang: str, error: str = "") -> dict:
+    return {
+        "doc_type": doc_type,
+        "lang": lang,
+        "charset": "",
+        "extracted_text": "",
+        "spans": [],
+        "n_blocks_kept": 0,
+        "n_blocks_dropped": 0,
+        "parse_ok": error == "",
+        "error": error,
+    }
+
+
+def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
+    """bytes in → extraction result dict out.  Never raises.
+
+    Keys: doc_type, lang, charset, extracted_text, spans[(s,e)...],
+    n_blocks_kept, n_blocks_dropped, parse_ok, error.
+    """
+    try:
+        doc_type = sniff_doc_type(payload)
+        if doc_type == "empty":
+            return empty_result("empty", crawl_lang)
+        if doc_type == "unknown":
+            return empty_result(
+                "unknown", crawl_lang, "payload is neither markup nor pdf"
+            )
+        if doc_type == "pdf":
+            r = extract_pdf(payload)
+            return {
+                "doc_type": "pdf",
+                "lang": crawl_lang or "en",
+                "charset": "",
+                "extracted_text": r["extracted_text"],
+                "spans": r["spans"],
+                "n_blocks_kept": r["n_blocks_kept"],
+                "n_blocks_dropped": r["n_blocks_dropped"],
+                "parse_ok": r["parse_ok"],
+                "error": "" if r["parse_ok"] else "no page content streams",
+            }
+        text, charset = decode_html(payload)
+        r = extract_html(text, crawl_lang)
+        return {
+            "doc_type": "html",
+            "lang": r["lang"],
+            "charset": charset,
+            "extracted_text": r["extracted_text"],
+            "spans": r["spans"],
+            "n_blocks_kept": r["n_blocks_kept"],
+            "n_blocks_dropped": r["n_blocks_dropped"],
+            "parse_ok": True,
+            "error": "",
+        }
+    except Exception as exc:  # noqa: BLE001 — M11 failure routing
+        return empty_result("unknown", crawl_lang, f"{type(exc).__name__}: {exc}")

@@ -1,0 +1,449 @@
+"""From-scratch PDF layout parser (SURVEY.md SS2.2 M10, SS2.3(b)).
+
+Echoes the reference's noisy-image tabular extraction via cell-grid
+detection (BASELINE.json north_star): positioned text runs are collected
+from page content streams, ruling lines are detected from thin ``re``
+rectangles, >=2 horizontal x >=2 vertical rulings form a table region whose
+cells are filled by snapping runs into the grid (rows top->bottom, cells
+left->right, tab-joined); remaining runs become text regions via
+y-clustering with reading-order reconstruction (two-column aware).
+
+Stdlib only (re + zlib).  Pure function of the payload bytes — shared by
+the oracle and the Ray actor pool, so per-url byte-identity holds.
+
+Supported subset = exactly what core/pdf_write.py emits (SURVEY SS7 hard
+part #3): direct /Length integers, /FlateDecode, BT/ET Td/TD/Tm/T* Tj/TJ,
+``re`` + f/S.  Anything else degrades gracefully (runs are simply skipped).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from ..params import (
+    JOINER,
+    PDF_CELL_JOIN,
+    PDF_COLUMN_GAP,
+    PDF_LINE_MAX_THICKNESS,
+    PDF_PARA_GAP,
+    PDF_ROW_JOIN,
+    PDF_Y_CLUSTER_TOL,
+)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+
+_NUM = r"[-+]?\d*\.?\d+"
+_TOKEN_RE = re.compile(
+    r"\((?:[^()\\]|\\.)*\)"          # literal string
+    r"|<[0-9a-fA-F\s]*>"              # hex string
+    r"|/[A-Za-z0-9#._\-]+"            # name
+    r"|" + _NUM +                      # number
+    r"|\[|\]"
+    r"|[A-Za-z'\"*]+"                 # operator
+)
+_STR_ESC_RE = re.compile(r"\\([nrtbf()\\]|[0-7]{1,3})")
+
+_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+
+
+def _unescape_pdf_string(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        g = m.group(1)
+        if g in _ESC_MAP:
+            return _ESC_MAP[g]
+        return chr(int(g, 8) & 0xFF)
+    return _STR_ESC_RE.sub(repl, s)
+
+
+def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Scan ``N g obj ... endobj`` bodies → {num: (header, stream_bytes)}.
+
+    Uses /Length to slice streams exactly, so binary stream data can never
+    be misread as markup.  Tolerates a truncated trailing object.
+    """
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _OBJ_RE.search(payload, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        sk = payload.find(b"stream", body_start)
+        ek = payload.find(b"endobj", body_start)
+        if sk != -1 and (ek == -1 or sk < ek):
+            header = payload[body_start:sk]
+            lm = _LENGTH_RE.search(header)
+            data_start = sk + len(b"stream")
+            if payload[data_start : data_start + 2] == b"\r\n":
+                data_start += 2
+            elif payload[data_start : data_start + 1] == b"\n":
+                data_start += 1
+            if lm:
+                length = int(lm.group(1))
+                data = payload[data_start : data_start + length]
+                tail = payload.find(b"endobj", data_start + length)
+                pos = tail + 6 if tail != -1 else n
+            else:  # no length: scan for endstream
+                es = payload.find(b"endstream", data_start)
+                data = payload[data_start : es if es != -1 else n]
+                tail = payload.find(b"endobj", es if es != -1 else n)
+                pos = tail + 6 if tail != -1 else n
+            if b"/FlateDecode" in header:
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    data = b""
+            objects[num] = (header, data)
+        else:
+            header = payload[body_start : ek if ek != -1 else n]
+            objects[num] = (header, None)
+            pos = ek + 6 if ek != -1 else n
+    return objects
+
+
+def _page_content_streams(payload: bytes,
+                          objects: dict[int, tuple[bytes, bytes | None]]
+                          ) -> list[bytes]:
+    """Content streams in page order (catalog→pages→kids), with fallback."""
+    page_nums: list[int] = []
+    root_m = _ROOT_RE.search(payload)
+    pages_obj = None
+    if root_m and int(root_m.group(1)) in objects:
+        cat_hdr = objects[int(root_m.group(1))][0]
+        pm = _PAGES_REF_RE.search(cat_hdr)
+        if pm and int(pm.group(1)) in objects:
+            pages_obj = objects[int(pm.group(1))][0]
+    if pages_obj is None:  # fallback: first object with /Kids
+        for _, (hdr, _s) in sorted(objects.items()):
+            if b"/Kids" in hdr:
+                pages_obj = hdr
+                break
+    if pages_obj is not None:
+        km = _KIDS_RE.search(pages_obj)
+        if km:
+            page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+    streams: list[bytes] = []
+    for pn in page_nums:
+        if pn not in objects:
+            continue
+        cm = _CONTENTS_RE.search(objects[pn][0])
+        if cm and int(cm.group(1)) in objects:
+            data = objects[int(cm.group(1))][1]
+            if data:
+                streams.append(data)
+    if not streams:  # last resort: every stream that contains BT
+        for _, (_hdr, data) in sorted(objects.items()):
+            if data and b"BT" in data:
+                streams.append(data)
+    return streams
+
+
+class _Run:
+    __slots__ = ("x", "y", "text")
+
+    def __init__(self, x: float, y: float, text: str) -> None:
+        self.x = x
+        self.y = y
+        self.text = text
+
+
+def _interpret(stream: bytes) -> tuple[list[_Run], list[tuple[float, float, float, float]]]:
+    """Execute the content-stream subset → (text runs, filled/stroked rects)."""
+    text = stream.decode("latin-1", "replace")
+    runs: list[_Run] = []
+    rects: list[tuple[float, float, float, float]] = []
+    stack: list = []
+    tx = ty = 0.0       # text-line origin
+    cx = cy = 0.0       # current position
+    leading = 0.0
+    in_text = False
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        c0 = tok[0]
+        if c0 == "(":
+            stack.append(("str", _unescape_pdf_string(tok[1:-1])))
+        elif c0 == "<":
+            hexs = re.sub(r"\s", "", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += "0"
+            try:
+                stack.append(("str", bytes.fromhex(hexs).decode("latin-1")))
+            except ValueError:
+                stack.append(("str", ""))
+        elif c0 == "/":
+            stack.append(("name", tok))
+        elif c0 in "[]":
+            stack.append((tok, tok))
+        elif c0.isdigit() or c0 in "-+.":
+            try:
+                stack.append(("num", float(tok)))
+            except ValueError:
+                pass
+        else:
+            op = tok
+            if op == "BT":
+                in_text = True
+                tx = ty = cx = cy = 0.0
+                stack.clear()
+            elif op == "ET":
+                in_text = False
+                stack.clear()
+            elif op == "Td" or op == "TD":
+                if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                    dy = stack[-1][1]
+                    dx = stack[-2][1]
+                    tx += dx
+                    ty += dy
+                    cx, cy = tx, ty
+                    if op == "TD":
+                        leading = -dy
+                stack.clear()
+            elif op == "Tm":
+                if len(stack) >= 6 and all(s[0] == "num" for s in stack[-6:]):
+                    tx, ty = stack[-2][1], stack[-1][1]
+                    cx, cy = tx, ty
+                stack.clear()
+            elif op == "T*":
+                ty -= leading
+                cx, cy = tx, ty
+                stack.clear()
+            elif op == "TL":
+                if stack and stack[-1][0] == "num":
+                    leading = stack[-1][1]
+                stack.clear()
+            elif op == "Tj":
+                if in_text and stack and stack[-1][0] == "str":
+                    s = stack[-1][1]
+                    if s:
+                        runs.append(_Run(cx, cy, s))
+                        cx += 5.5 * len(s)  # nominal advance
+                stack.clear()
+            elif op == "TJ":
+                if in_text:
+                    parts = [v for k, v in stack if k == "str"]
+                    s = "".join(parts)
+                    if s:
+                        runs.append(_Run(cx, cy, s))
+                        cx += 5.5 * len(s)
+                stack.clear()
+            elif op == "re":
+                if len(stack) >= 4 and all(s[0] == "num" for s in stack[-4:]):
+                    x, y, w, h = (s[1] for s in stack[-4:])
+                    rects.append((x, y, w, h))
+                stack.clear()
+            else:
+                # f, S, Tf, colour ops, q/Q, cm... consume operands
+                stack.clear()
+    return runs, rects
+
+
+def _cluster(values: list[float], tol: float) -> list[float]:
+    """1-D cluster: sorted representatives, greedy within tol."""
+    reps: list[float] = []
+    for v in sorted(values):
+        if not reps or v - reps[-1] > tol:
+            reps.append(v)
+    return reps
+
+
+class _Region:
+    __slots__ = ("top", "left", "text")
+
+    def __init__(self, top: float, left: float, text: str) -> None:
+        self.top = top
+        self.left = left
+        self.text = text
+
+
+def _detect_tables(rects, runs):
+    """Cell-grid detection: ruling lines → grid → snap runs into cells.
+
+    Returns (table_regions, leftover_runs)."""
+    h_lines = []  # (y, x0, x1)
+    v_lines = []  # (x, y0, y1)
+    for x, y, w, h in rects:
+        if h <= PDF_LINE_MAX_THICKNESS and w > PDF_LINE_MAX_THICKNESS:
+            h_lines.append((y, x, x + w))
+        elif w <= PDF_LINE_MAX_THICKNESS and h > PDF_LINE_MAX_THICKNESS:
+            v_lines.append((x, y, y + h))
+    if len(h_lines) < 2 or len(v_lines) < 2:
+        return [], runs
+
+    # group rulings into grid bounding boxes by overlap: here a single grid
+    # per x-extent cluster of horizontal lines (writer emits one grid per
+    # table); multiple tables stack vertically with distinct y ranges.
+    # Build grids greedily from v-line x-extents that share y-overlap.
+    # Simplification valid for the supported subset: all h_lines whose
+    # (x0,x1) match within tol belong to one grid column-set.
+    grids = []  # (ys sorted desc, xs sorted asc, bbox)
+    used_h = [False] * len(h_lines)
+    for i, (y0, hx0, hx1) in enumerate(h_lines):
+        if used_h[i]:
+            continue
+        group = [i]
+        used_h[i] = True
+        for j in range(i + 1, len(h_lines)):
+            yj, xj0, xj1 = h_lines[j]
+            if not used_h[j] and abs(xj0 - hx0) < 3.0 and abs(xj1 - hx1) < 3.0:
+                group.append(j)
+                used_h[j] = True
+        if len(group) < 2:
+            continue
+        ys = _cluster([h_lines[g][0] for g in group], 1.0)
+        gy0, gy1 = min(ys), max(ys)
+        xs = _cluster(
+            [x for (x, vy0, vy1) in v_lines
+             if vy0 <= gy0 + 2 and vy1 >= gy1 - 2
+             and hx0 - 2 <= x <= hx1 + 2],
+            1.0,
+        )
+        if len(xs) < 2:
+            continue
+        grids.append((sorted(ys, reverse=True), sorted(xs), (min(xs), gy0, max(xs), gy1)))
+
+    if not grids:
+        return [], runs
+
+    regions = []
+    leftover = []
+    assigned = [False] * len(runs)
+    for ys, xs, (bx0, by0, bx1, by1) in grids:
+        n_rows = len(ys) - 1
+        n_cols = len(xs) - 1
+        cells: list[list[list[_Run]]] = [
+            [[] for _ in range(n_cols)] for _ in range(n_rows)
+        ]
+        for k, r in enumerate(runs):
+            if assigned[k]:
+                continue
+            if bx0 <= r.x <= bx1 and by0 <= r.y <= by1:
+                row = col = None
+                for ri in range(n_rows):
+                    if ys[ri] >= r.y >= ys[ri + 1]:
+                        row = ri
+                        break
+                for ci in range(n_cols):
+                    if xs[ci] <= r.x <= xs[ci + 1]:
+                        col = ci
+                        break
+                if row is not None and col is not None:
+                    cells[row][col].append(r)
+                    assigned[k] = True
+        rows_text = []
+        for row_cells in cells:
+            cols_text = []
+            for cell_runs in row_cells:
+                cell_runs.sort(key=lambda r: (-r.y, r.x))
+                cols_text.append(" ".join(r.text for r in cell_runs).strip())
+            rows_text.append(PDF_CELL_JOIN.join(cols_text))
+        regions.append(_Region(by1, bx0, PDF_ROW_JOIN.join(rows_text)))
+    leftover = [r for k, r in enumerate(runs) if not assigned[k]]
+    return regions, leftover
+
+
+def _text_regions(runs: list[_Run]) -> list[_Region]:
+    """Y-cluster leftover runs into lines, lines into paragraphs; two-column
+    pages are split at a >= PDF_COLUMN_GAP x-gap (reading order: left column
+    fully, then right)."""
+    if not runs:
+        return []
+    # column split
+    xs = sorted(r.x for r in runs)
+    split_x = None
+    for a, b in zip(xs, xs[1:]):
+        if b - a >= PDF_COLUMN_GAP:
+            left = [r for r in runs if r.x <= a]
+            right = [r for r in runs if r.x >= b]
+            # only treat as columns when both sides have several lines and
+            # vertical extents overlap (otherwise it's indentation)
+            if len(left) >= 3 and len(right) >= 3:
+                ly = (min(r.y for r in left), max(r.y for r in left))
+                ry = (min(r.y for r in right), max(r.y for r in right))
+                if min(ly[1], ry[1]) - max(ly[0], ry[0]) > 0:
+                    split_x = (a + b) / 2
+                    break
+    if split_x is not None:
+        lefts = [r for r in runs if r.x < split_x]
+        rights = [r for r in runs if r.x >= split_x]
+        return _text_regions(lefts) + _text_regions(rights)
+
+    # cluster into lines by y
+    runs = sorted(runs, key=lambda r: (-r.y, r.x))
+    lines: list[tuple[float, str]] = []
+    cur_y = None
+    cur: list[_Run] = []
+    for r in runs:
+        if cur_y is None or abs(r.y - cur_y) <= PDF_Y_CLUSTER_TOL:
+            cur.append(r)
+            cur_y = r.y if cur_y is None else cur_y
+        else:
+            cur.sort(key=lambda q: q.x)
+            lines.append((cur_y, " ".join(q.text for q in cur)))
+            cur = [r]
+            cur_y = r.y
+    if cur:
+        cur.sort(key=lambda q: q.x)
+        lines.append((cur_y, " ".join(q.text for q in cur)))
+
+    # group lines into paragraphs on y-gap
+    regions: list[_Region] = []
+    para: list[str] = []
+    para_top = lines[0][0]
+    prev_y = lines[0][0]
+    left_x = min(r.x for r in runs)
+    for y, text in lines:
+        if para and prev_y - y > PDF_PARA_GAP:
+            regions.append(_Region(para_top, left_x, " ".join(para)))
+            para = []
+            para_top = y
+        para.append(text)
+        prev_y = y
+    if para:
+        regions.append(_Region(para_top, left_x, " ".join(para)))
+    return regions
+
+
+def extract_pdf(payload: bytes) -> dict:
+    """Full PDF path: pages → runs/rects → tables + text regions → text.
+
+    Region reading order within a page: top-to-bottom by region top edge,
+    left-to-right on ties (the reference's row-major assembly, SURVEY
+    SS2.3(b)).  Pages and regions join with JOINER.
+    """
+    objects = _parse_objects(payload)
+    streams = _page_content_streams(payload, objects)
+    page_texts: list[str] = []
+    n_regions = 0
+    for stream in streams:
+        runs, rects = _interpret(stream)
+        tables, leftover = _detect_tables(rects, runs)
+        texts = _text_regions(leftover)
+        regions = tables + texts
+        regions.sort(key=lambda g: (-g.top, g.left))
+        parts = [g.text for g in regions if g.text]
+        n_regions += len(parts)
+        if parts:
+            page_texts.append(JOINER.join(parts))
+    text = JOINER.join(page_texts)
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for pt in page_texts:
+        spans.append((pos, pos + len(pt)))
+        pos += len(pt) + len(JOINER)
+    return {
+        "extracted_text": text,
+        "spans": spans,
+        "n_blocks_kept": n_regions,
+        "n_blocks_dropped": 0,
+        "parse_ok": bool(streams),
+    }

@@ -1,0 +1,101 @@
+"""Flagship extraction pipeline (SURVEY.md SS3.1).
+
+Two physically different but byte-identical plans:
+
+- ``single_pass`` (default): ONE scan of the input; per-document dispatch
+  (html/pdf/empty) happens inside the actor-pool extractor.  At 100 TB this
+  is the right plan — Ray Data does not share a common upstream subplan
+  between ``filter`` branches, so a 4-way routed split re-reads the input
+  once per branch.
+- ``routed``: explicit M12 routing — a stateless sniff stage adds
+  doc_type/n_bytes, then html / giant-html / pdf / other branches run as
+  separate pools (giant pages at ``batch_size=1`` so a 100 MB page cannot
+  stall a 512-doc batch — SURVEY SS4.3 skew handling) and re-union.
+  Demonstrates size-bucketed skew routing; tests assert both plans produce
+  identical bytes.
+
+No shuffle anywhere on this path; partitioning is inherited from the input
+files (SURVEY SS4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+import ray.data
+
+from ..params import GIANT_BYTES
+from ..stages.extract import Extractor, passthrough_empty_batch, sniff_batch
+
+_PYARROW_KW = {"batch_format": "pyarrow", "zero_copy_batch": True}
+
+
+def _default_concurrency() -> tuple[int, int]:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # ray not initialised (unit tests running inline)
+        cpus = 8
+    return (1, max(2, cpus))
+
+
+def read_pages(path: str | list[str], override_num_blocks: int | None = None,
+               columns: list[str] | None = None) -> ray.data.Dataset:
+    """S1: read the pages table. ``path`` may be a directory of shards.
+
+    ``columns`` prunes at the parquet read (SURVEY: prune at the read) —
+    extraction needs url/warc_ts/html/lang but not the WET ``text`` column,
+    which is ~40% of the non-html bytes.
+    """
+    if isinstance(path, str) and os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = path
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if columns is not None:
+        kwargs["columns"] = columns
+    return ray.data.read_parquet(paths, **kwargs)
+
+
+EXTRACT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def extract_pages(
+    ds: ray.data.Dataset,
+    mode: str = "single_pass",
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """PAGES dataset → OUT dataset (byte-identical text per url)."""
+    conc = concurrency if concurrency is not None else _default_concurrency()
+    if mode == "single_pass":
+        return ds.map_batches(
+            Extractor, concurrency=conc, batch_size=batch_size, **_PYARROW_KW
+        )
+    if mode != "routed":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    sniffed = ds.map_batches(sniff_batch, **_PYARROW_KW)
+    html = sniffed.filter(
+        expr=f"doc_type == 'html' and n_bytes < {GIANT_BYTES}")
+    giant = sniffed.filter(
+        expr=f"doc_type == 'html' and n_bytes >= {GIANT_BYTES}")
+    pdf = sniffed.filter(expr="doc_type == 'pdf'")
+    other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
+
+    drop = ["doc_type", "n_bytes"]
+    out_html = html.drop_columns(drop).map_batches(
+        Extractor, concurrency=conc, batch_size=batch_size, **_PYARROW_KW)
+    out_giant = giant.drop_columns(drop).map_batches(
+        Extractor, concurrency=conc, batch_size=1, **_PYARROW_KW)
+    out_pdf = pdf.drop_columns(drop).map_batches(
+        Extractor, concurrency=conc, batch_size=max(1, batch_size // 4),
+        **_PYARROW_KW)
+    out_other = other.drop_columns(["n_bytes"]).map_batches(
+        passthrough_empty_batch, **_PYARROW_KW)
+    return out_html.union(out_giant, out_pdf, out_other)

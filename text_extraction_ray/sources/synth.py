@@ -1,0 +1,282 @@
+"""Deterministic synthetic Common-Crawl-style corpus (SURVEY S5, FIXTURES SS1).
+
+No external data exists in this sandbox, so the pages table of the
+BASELINE.json input_hint shape is synthesized here, seeded, with the row mix
+FIXTURES.md prescribes (boilerplate-rich HTML, charset variants, adversarial
+markup, minimal PDFs from core/pdf_write, degenerate payloads, giant pages,
+duplicate urls).  Every row is a pure function of ``(seed, row_index)`` so
+the corpus is identical regardless of shard count or generation order —
+that's what makes goldens, resume tests and the two-parallelism benchmark
+meaningful.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..core.pdf_write import PageBuilder, build_pdf
+from ..core.stopwords import STOPWORDS
+from ..schemas import PAGES
+
+_BASE_TS = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_CONTENT: dict[str, list[str]] = {
+    "en": """data system research market people world government time work
+        service report company number information school community program
+        business question policy health science technology water energy
+        history development project result analysis example language student
+        national public century process model problem economic growth industry
+        region culture method value design engine network software image
+        article author editor source study journal review summary section
+        chapter website page content reader comment forum travel music sport
+        weather city country nature animal plant food recipe garden museum
+        library bridge river mountain island forest village street building
+        factory hospital""".split(),
+    "de": """daten system forschung markt leute welt regierung zeit arbeit
+        dienst bericht firma nummer information schule gemeinde programm
+        geschäft frage politik gesundheit wissenschaft technologie wasser
+        energie geschichte entwicklung projekt ergebnis analyse beispiel
+        sprache student staat öffentlich jahrhundert prozess modell problem
+        wirtschaft wachstum industrie region kultur methode wert entwurf
+        netz software bild artikel autor quelle studie zeitschrift abschnitt
+        kapitel seite inhalt leser kommentar reise musik stadt land natur
+        tier pflanze essen garten museum bibliothek brücke fluss berg insel
+        wald dorf straße gebäude fabrik größe schön müller""".split(),
+    "es": """datos sistema investigación mercado gente mundo gobierno tiempo
+        trabajo servicio informe empresa número información escuela comunidad
+        programa negocio pregunta política salud ciencia tecnología agua
+        energía historia desarrollo proyecto resultado análisis ejemplo idioma
+        estudiante nacional público siglo proceso modelo problema economía
+        crecimiento industria región cultura método valor diseño red software
+        imagen artículo autor fuente estudio revista sección capítulo página
+        contenido lector comentario viaje música ciudad país naturaleza animal
+        planta comida jardín museo biblioteca puente río montaña isla bosque
+        pueblo calle edificio fábrica""".split(),
+    "zh": """数据 系统 研究 市场 世界 政府 时间 工作 服务 报告 公司 号码 信息
+        学校 社区 程序 商业 政策 健康 科学 技术 能源 历史 发展 项目 结果 分析
+        例子 语言 学生 国家 公共 世纪 过程 模型 经济 增长 工业 地区 文化 方法
+        价值 设计 网络 软件 图片 文章 作者 来源 期刊 评论 摘要 部分 章节 表格
+        页面 内容 读者 旅行 音乐 城市 自然 动物 植物 食物 花园 博物馆 图书馆
+        桥梁 河流 山脉 岛屿 森林 村庄 街道 建筑 工厂 医院""".split(),
+}
+_STOPS: dict[str, list[str]] = {k: sorted(v) for k, v in STOPWORDS.items()}
+_LANGS = ("en", "de", "es", "zh")
+_NAV_WORDS = ["Home", "About", "Contact", "Login", "Register", "Search",
+              "Archive", "Tags", "Privacy", "Terms", "Sitemap", "RSS",
+              "Jobs", "Press", "Help", "API", "Blog", "Shop"]
+
+
+def _words(rng: random.Random, lang: str, n: int, stop_frac: float = 0.55) -> list[str]:
+    stops = _STOPS[lang]
+    content = _CONTENT[lang]
+    return [
+        rng.choice(stops) if rng.random() < stop_frac else rng.choice(content)
+        for _ in range(n)
+    ]
+
+
+def _sentence(rng: random.Random, lang: str, n: int | None = None) -> str:
+    n = n or rng.randint(8, 22)
+    ws = _words(rng, lang, n)
+    s = " ".join(ws)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, lang: str, n_sentences: int | None = None) -> str:
+    n_sentences = n_sentences or rng.randint(3, 7)
+    return " ".join(_sentence(rng, lang) for _ in range(n_sentences))
+
+
+def _nav_html(rng: random.Random, n: int = 8) -> str:
+    items = "".join(
+        f'<li><a href="/{w.lower()}">{w}</a></li>'
+        for w in rng.sample(_NAV_WORDS, min(n, len(_NAV_WORDS)))
+    )
+    return f"<nav><ul>{items}</ul></nav>"
+
+
+def _sidebar_html(rng: random.Random, lang: str) -> str:
+    items = "".join(
+        f'<li><a href="/t/{i}">{" ".join(_words(rng, lang, rng.randint(2, 4)))}</a></li>'
+        for i in range(rng.randint(4, 10))
+    )
+    return f'<div class="sidebar"><h3>{" ".join(_words(rng, lang, 2))}</h3><ul>{items}</ul></div>'
+
+
+def _table_html(rng: random.Random, lang: str) -> str:
+    rows = []
+    for _ in range(rng.randint(2, 5)):
+        cells = "".join(
+            f"<td>{' '.join(_words(rng, lang, rng.randint(1, 3)))}</td>"
+            for _ in range(rng.randint(2, 4))
+        )
+        rows.append(f"<tr>{cells}</tr>")
+    return f"<table>{''.join(rows)}</table>"
+
+
+def _main_html(rng: random.Random, lang: str, n_paras: int) -> str:
+    parts = [f"<h1>{' '.join(_words(rng, lang, rng.randint(3, 7)))}</h1>"]
+    for p in range(n_paras):
+        if p and rng.random() < 0.25:
+            parts.append(f"<h2>{' '.join(_words(rng, lang, rng.randint(2, 5)))}</h2>")
+        body = _paragraph(rng, lang)
+        if rng.random() < 0.3:  # inline link inside content
+            body += f' <a href="/ref/{p}">{" ".join(_words(rng, lang, 2))}</a> ' + _sentence(rng, lang)
+        parts.append(f"<p>{body}</p>")
+        if rng.random() < 0.15:
+            parts.append(f"<blockquote>{_sentence(rng, lang, 14)}</blockquote>")
+        if rng.random() < 0.12:
+            items = "".join(f"<li>{_sentence(rng, lang, 6)}</li>" for _ in range(rng.randint(2, 5)))
+            parts.append(f"<ul>{items}</ul>")
+    if rng.random() < 0.15:
+        parts.append(_table_html(rng, lang))
+    return "<main>" + "".join(parts) + "</main>"
+
+
+def _page_html(rng: random.Random, lang: str, n_paras: int | None = None,
+               charset: str = "utf-8", include_meta: bool = True) -> str:
+    title = " ".join(_words(rng, lang, 4))
+    meta = f'<meta charset="{charset}">' if include_meta else ""
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"{meta}<title>{title}</title>"
+        "<style>.sidebar{float:left} a{color:#06c}</style>"
+        "<script>var t=0;function f(a,b){return a<b?a:b}</script>"
+        "</head><body>"
+        f"<header>{_nav_html(rng)}</header>"
+        f"{_sidebar_html(rng, lang)}"
+        f"{_main_html(rng, lang, n_paras or rng.randint(1, 8))}"
+        f"<footer><p>© 2024 {title}. All rights reserved.</p>"
+        f"{_nav_html(rng, 4)}</footer>"
+        "</body></html>"
+    )
+
+
+def _adversarial_html(rng: random.Random, lang: str) -> bytes:
+    """Unclosed tags, comments, CDATA, entities, maybe truncated."""
+    body = _page_html(rng, lang)
+    muts = []
+    if rng.random() < 0.6:
+        body = body.replace("</p>", "", rng.randint(1, 3))
+        muts.append("unclosed")
+    if rng.random() < 0.5:
+        body = body.replace(
+            "<main>",
+            "<main><!-- boilerplate <p>not text</p> comment -->", 1)
+    if rng.random() < 0.5:
+        body = body.replace(
+            "<main>", "<main><![CDATA[raw & <notatag> cdata text]]>", 1)
+    if rng.random() < 0.7:
+        ents = " &amp; &lt;tag&gt; &#65;&#x42; &nbsp;&copy; &eacute &unknown; "
+        body = body.replace("</main>", f"<p>{_sentence(rng, lang)}{ents}{_sentence(rng, lang)}</p></main>", 1)
+    data = body.encode("utf-8")
+    if rng.random() < 0.3:
+        cut = rng.randint(len(data) // 3, len(data) - 1)
+        data = data[:cut]
+    return data
+
+
+def _pdf_payload(rng: random.Random) -> bytes:
+    n_pages = rng.randint(1, 3)
+    pages = []
+    for _ in range(n_pages):
+        pb = PageBuilder()
+        n_regions = rng.randint(1, 3)
+        for _r in range(n_regions):
+            lines = [
+                " ".join(_words(rng, "en", rng.randint(6, 10)))
+                for _ in range(rng.randint(2, 6))
+            ]
+            pb.text_lines(lines)
+        if rng.random() < 0.6:
+            n_cols = rng.randint(2, 4)
+            rows = [
+                [f"{rng.choice(_CONTENT['en'])} {rng.randint(1, 999)}"
+                 for _ in range(n_cols)]
+                for _row in range(rng.randint(2, 5))
+            ]
+            pb.table(rows)
+        if rng.random() < 0.4:
+            lines = [" ".join(_words(rng, "en", 7)) for _ in range(3)]
+            pb.text_lines(lines)
+        pages.append(pb)
+    return build_pdf(pages, compress=rng.random() < 0.5)
+
+
+def _giant_html(rng: random.Random, lang: str, cap_bytes: int) -> bytes:
+    target = min(cap_bytes, int(rng.lognormvariate(11.5, 1.0)) + 64 * 1024)
+    parts = []
+    size = 0
+    while size < target:
+        chunk = _page_html(rng, lang, n_paras=8)
+        # keep only the body content of subsequent chunks to stay one document
+        parts.append(chunk if not parts else chunk.split("<body>", 1)[1].rsplit("</body>", 1)[0])
+        size += len(chunk)
+    return "".join(parts).encode("utf-8")
+
+
+def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
+    """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
+    if i % 50 == 49 and i > 0:
+        base = make_row(i - 1, seed, giant_cap)
+        base["warc_ts"] = base["warc_ts"] + _dt.timedelta(hours=1)
+        return base
+    rng = random.Random(f"{seed}:{i}")
+    lang = _LANGS[rng.randrange(4)] if rng.random() < 0.9 else ""
+    gen_lang = lang or _LANGS[rng.randrange(4)]
+    url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
+    ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
+    roll = rng.random()
+    if roll < 0.70:
+        html = _page_html(rng, gen_lang).encode("utf-8")
+    elif roll < 0.80:  # charset variants
+        sub = rng.random()
+        if sub < 0.4 and gen_lang in ("de", "es"):
+            html = _page_html(rng, gen_lang, charset="ISO-8859-1").encode("latin-1", "replace")
+        elif sub < 0.7:
+            html = b"\xef\xbb\xbf" + _page_html(rng, gen_lang).encode("utf-8")
+        else:
+            html = _page_html(rng, gen_lang, include_meta=False).encode("utf-8")
+    elif roll < 0.88:
+        html = _adversarial_html(rng, gen_lang)
+    elif roll < 0.93:
+        html = _pdf_payload(rng)
+    elif roll < 0.95:
+        html = b""
+    elif roll < 0.97:
+        html = bytes(rng.randrange(256) for _ in range(rng.randint(16, 512)))
+    else:
+        html = _giant_html(rng, gen_lang, giant_cap)
+    wet = " ".join(_words(rng, gen_lang, 40))
+    return {"url": url, "warc_ts": ts, "html": html, "text": wet, "lang": lang}
+
+
+def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
+               giant_cap: int = 256 * 1024, force: bool = False) -> list[str]:
+    """Write the corpus as ``{out_dir}/part-{s:05d}.parquet`` shards.
+
+    Idempotent: if the directory already holds the expected shard set (and a
+    stamp matching the request), it is reused — bench excludes generation
+    time this way.  Returns the shard paths in order.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    stamp_path = os.path.join(out_dir, "_STAMP")
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=1"
+    paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
+    if not force and os.path.exists(stamp_path):
+        with open(stamp_path) as fh:
+            if fh.read() == stamp and all(os.path.exists(p) for p in paths):
+                return paths
+    for s in range(n_shards):
+        rows = [make_row(i, seed, giant_cap) for i in range(s, n_rows, n_shards)]
+        cols = {name: [r[name] for r in rows] for name in PAGES.names}
+        table = pa.Table.from_pydict(cols, schema=PAGES)
+        pq.write_table(table, paths[s], row_group_size=max(64, len(rows) // 4))
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return paths
