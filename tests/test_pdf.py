@@ -1,0 +1,77 @@
+"""PDF writer↔parser roundtrip tests: cell-grid detection, reading order,
+compression, multi-page, two-column (SURVEY SS5.2)."""
+
+from text_extraction_ray.core.pdf import extract_pdf
+from text_extraction_ray.core.pdf_write import PageBuilder, build_pdf
+
+
+def test_simple_paragraph_roundtrip():
+    pb = PageBuilder()
+    pb.text_lines(["hello world", "second line"])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["parse_ok"]
+    assert out["extracted_text"] == "hello world second line"
+
+
+def test_paragraph_gap_splits_regions():
+    pb = PageBuilder()
+    pb.text_lines(["para one line a", "para one line b"])
+    pb.text_lines(["para two line a"])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == (
+        "para one line a para one line b\n\npara two line a")
+
+
+def test_table_grid_rows_and_cells():
+    pb = PageBuilder()
+    rows = [["a1", "b1", "c1"], ["a2", "b2", "c2"]]
+    pb.table(rows)
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "a1\tb1\tc1\na2\tb2\tc2"
+
+
+def test_text_then_table_reading_order():
+    pb = PageBuilder()
+    pb.text_lines(["intro text"])
+    pb.table([["x", "y"], ["1", "2"]])
+    pb.text_lines(["outro text"])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "intro text\n\nx\ty\n1\t2\n\noutro text"
+
+
+def test_flate_compressed_stream():
+    pb = PageBuilder()
+    pb.text_lines(["compressed content line"])
+    out = extract_pdf(build_pdf([pb], compress=True))
+    assert out["extracted_text"] == "compressed content line"
+
+
+def test_multi_page_order():
+    p1 = PageBuilder()
+    p1.text_lines(["page one"])
+    p2 = PageBuilder()
+    p2.text_lines(["page two"])
+    out = extract_pdf(build_pdf([p1, p2]))
+    assert out["extracted_text"] == "page one\n\npage two"
+    assert out["spans"] == [(0, 8), (10, 18)]
+
+
+def test_two_column_reading_order():
+    pb = PageBuilder()
+    pb.text_lines_at(["left a", "left b", "left c"], x=72.0, y=700.0)
+    pb.text_lines_at(["right a", "right b", "right c"], x=350.0, y=700.0)
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "left a left b left c\n\nright a right b right c"
+
+
+def test_escaped_parens():
+    pb = PageBuilder()
+    pb.text_lines(["f(x) = (a) \\ b"])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "f(x) = (a) \\ b"
+
+
+def test_garbage_pdf_degrades():
+    out = extract_pdf(b"%PDF-1.4 this is not really a pdf")
+    assert out["extracted_text"] == ""
+    assert not out["parse_ok"]
