@@ -4,41 +4,69 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in text_extraction_ray/) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke: extraction pipeline over a deterministic synthetic
+    pages corpus + a stats pass over /root/testdata/sf0.001 documents.
+
+    Returns the extraction OUT dataset (url, doc_type, extracted_text, ...).
+    """
+    from text_extraction_ray.functions.textstats import (
+        quality_batch,
+        token_count_batch,
+    )
+    from text_extraction_ray.pipelines.extraction import (
+        extract_pages,
+        read_pages,
+    )
+    from text_extraction_ray.pipelines.queries import read_table
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    # light pass over the driver-provided table (exercises testdata readers)
+    docs = read_table("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    n_quality = (
+        docs.map_batches(lambda b: token_count_batch(quality_batch(b)),
+                         batch_format="pyarrow")
+        .filter(expr="quality_ok")
+        .count()
+    )
+    print(f"[entry] sf0.001 documents passing quality filter: {n_quality}",
+          file=sys.stderr)
+
+    corpus = os.path.join(tempfile.gettempdir(), "tx_pages_smoke")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+    out = extract_pages(read_pages(corpus), mode="single_pass",
+                        concurrency=(1, 8), batch_size=32)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md SS2."""
+    from text_extraction_ray.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (same column
+    names as the Ray results).  Non-SQL ops (minhash/simhash/jaccard/
+    lang-id/fingerprint/ann-lsh/multimodal/extract) are rows-only."""
+    from text_extraction_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate: every oracled query's
+Ray result must match its DuckDB SQL result (row count + column names +
+order-insensitive values) at sf0.01; rows-only queries must execute and
+return a stable schema."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _row_multiset(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from text_extraction_ray.pipelines.queries import oracle_sql, queries
+
+    return queries(), oracle_sql()
+
+
+def _oracled_names():
+    from text_extraction_ray.pipelines.queries import oracle_sql
+
+    return sorted(oracle_sql())
+
+
+def _rows_only_names():
+    from text_extraction_ray.pipelines.queries import oracle_sql, queries
+
+    return sorted(set(queries()) - set(oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _oracled_names())
+def test_query_matches_oracle(registry, name):
+    qs, oracles = registry
+    got = _to_pandas(qs[name](SF_DIR))
+    want = _duck(oracles[name])
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    gm, wm = _row_multiset(got), _row_multiset(want)
+    mismatches = [(a, b) for a, b in zip(gm, wm) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_runs(registry, name):
+    qs, _ = registry
+    df = _to_pandas(qs[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+    assert len(df) >= 0
+
+
+def test_multimodal_decodes(registry):
+    qs, _ = registry
+    df = _to_pandas(qs["multimodal_decode"](SF_DIR))
+    assert len(df) == 500
+    assert bool(df["decode_ok"].all())
+    assert (df["n_pixels"] > 0).all()
+
+
+def test_lang_id_mostly_matches_label(registry):
+    qs, _ = registry
+    df = _to_pandas(qs["lang_id"](SF_DIR))
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    merged = df.merge(docs, on="doc_id")
+    en = merged[merged["lang"] == "en"]
+    if len(en):
+        acc = (en["lang_pred"] == "en").mean()
+        assert acc > 0.9, f"en lang-id accuracy {acc}"
+
+
+def test_ann_lsh_subset_of_bruteforce_corpus(registry):
+    qs, _ = registry
+    lsh = _to_pandas(qs["ann_lsh"](SF_DIR))
+    brute = _to_pandas(qs["ann_top10"](SF_DIR))
+    assert len(lsh) <= 10
+    assert set(lsh.columns) == set(brute.columns)

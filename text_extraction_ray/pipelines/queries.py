@@ -1,0 +1,525 @@
+"""Driver-contract query registry (SURVEY SS5.4, __ray_entry__ contract).
+
+Every SQL-expressible operator has BOTH a Ray Data implementation and a
+DuckDB oracle with IDENTICAL output column names; the driver compares
+row-count + schema + order-insensitive value hash at sf=0.01.
+
+Float discipline (drivers hash raw values): money sums are rounded to 2dp,
+averages/cosines to 4-6dp, on BOTH sides; integer-valued aggregates stay
+exact (sums of integral doubles < 2^53 are order-independent).  DuckDB's
+SUM(BIGINT) returns HUGEINT, so SQL casts every integer aggregate to
+BIGINT to match Arrow int64.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..functions.multimodal import FakeMediaDecoder, synth_media_batch
+from ..functions.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    embedding_neardup_pairs,
+)
+from ..functions.textstats import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+_PYA = {"batch_format": "pyarrow"}
+
+
+def read_table(sf_dir: str, name: str,
+               columns: list[str] | None = None) -> ray.data.Dataset:
+    kwargs = {"columns": columns} if columns else {}
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
+
+
+def _round_cols(batch: pa.Table, spec: dict[str, int]) -> pa.Table:
+    for col, nd in spec.items():
+        i = batch.schema.get_field_index(col)
+        batch = batch.set_column(
+            i, col, pc.round(batch.column(col), ndigits=nd))
+    return batch
+
+
+# --- TPC-H-style relational checks ----------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: filtered scan → partial agg per batch is Ray's own
+    hash-combine; the groupby sees 4 keys only (no skew)."""
+    cutoff = _dt.datetime(1998, 9, 2)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", disc_price)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = (
+        li.map_batches(prep, **_PYA)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: _round_cols(b, {"sum_base_price": 2, "sum_disc_price": 2,
+                                  "avg_qty": 6, "avg_price": 6, "avg_disc": 6}),
+        **_PYA)
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer as a BROADCAST join: the customer→segment map is
+    ray.put once and read inside every map task — never a shuffle join for
+    a small dimension side (SURVEY SS2.5 J1 pattern)."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(),
+                       cust.column("c_mktsegment").to_pylist()))
+    map_ref = ray.put(seg_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        segs = [m.get(k, "") for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column(
+            "c_mktsegment", pa.array(segs, type=pa.string()))
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(attach, **_PYA)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="order_count"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"total_price": 2}), **_PYA)
+
+
+SQL_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS order_count,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_filter_project(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(b.column("l_discount"), 0.05),
+                       pc.less(b.column("l_quantity"), 25.0))
+        b = b.filter(mask)
+        revenue = pc.round(
+            pc.multiply(b.column("l_extendedprice"), b.column("l_discount")),
+            ndigits=4)
+        out = b.select(["l_orderkey", "l_linenumber"])
+        return out.append_column("revenue", revenue)
+
+    return read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount"]).map_batches(fn, **_PYA)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * l_discount, 4) AS revenue
+FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25
+"""
+
+
+def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
+    return (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_events_latest(sf_dir: str) -> ray.data.Dataset:
+    """Keep-latest-per-key dedup (re-crawl semantics, SURVEY G3): hash
+    shuffle on the key, per-group reduce to the max-(ts, id) row."""
+
+    def latest(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_pylist()
+        ids = g.column("event_id").to_pylist()
+        best = max(range(len(ts)), key=lambda i: (ts[i], ids[i]))
+        return g.slice(best, 1).select(["user_id", "event_type", "value"])
+
+    ev = read_table(sf_dir, "events",
+                    ["user_id", "ts", "event_id", "event_type", "value"])
+    return ev.groupby("user_id").map_groups(latest, **_PYA)
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_events_json(sf_dir: str) -> ray.data.Dataset:
+    """JSON prop extraction (stdlib json per row) + integer aggregate."""
+
+    def parse(b: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p or "{}").get("k", 0))
+              for p in b.column("props").to_pylist()]
+        return b.select(["event_type"]).append_column(
+            "k", pa.array(ks, type=pa.int64()))
+
+    ev = read_table(sf_dir, "events", ["event_type", "props"])
+    return (
+        ev.map_batches(parse, **_PYA)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("k", alias_name="sum_k"),
+                   Max("k", alias_name="max_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_lang_stats(sf_dir: str) -> ray.data.Dataset:
+    agg = (
+        read_table(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Mean("n_chars", alias_name="avg_chars"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"avg_chars": 6}), **_PYA)
+
+
+SQL_LANG_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_topk_docs(sf_dir: str) -> ray.data.Dataset:
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOPK_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    n = (
+        read_table(sf_dir, "events", ["user_id"])
+        .groupby("user_id").count().count()
+    )
+    return pa.table({"n_users": pa.array([n], type=pa.int64())})
+
+
+SQL_DISTINCT_USERS = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+"""
+
+
+def q_length_histogram(sf_dir: str) -> ray.data.Dataset:
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.divide(b.column("n_chars"), pa.scalar(100)),
+                         pa.int64())
+        return b.append_column("bucket", bucket).select(["bucket"])
+
+    return (
+        read_table(sf_dir, "documents", ["n_chars"])
+        .map_batches(bucketize, **_PYA)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_part_brands(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.match_substring(b.column("p_type"), "ECO"))
+
+    return (
+        read_table(sf_dir, "part", ["p_brand", "p_type"])
+        .map_batches(fn, **_PYA)
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+    )
+
+
+SQL_PART_BRANDS = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part WHERE p_type LIKE '%ECO%' GROUP BY p_brand
+"""
+
+
+# --- training-data operators over documents/embeddings ---------------------
+
+def q_token_totals(sf_dir: str) -> ray.data.Dataset:
+    return (
+        read_table(sf_dir, "documents", ["lang", "text"])
+        .map_batches(lambda b: token_count_batch(b).select(["lang", "n_tokens"]),
+                     **_PYA)
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+
+SQL_TOKEN_TOTALS = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    return exact_dedup(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        b = quality_batch(b)
+        return b.filter(b.column("quality_ok")).select(["doc_id", "n_tokens"])
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, **_PYA)
+
+
+SQL_QUALITY_FILTER = r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS alpha_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS digit_ratio
+  FROM documents)
+SELECT doc_id, n_tokens FROM q
+WHERE n_tokens >= 5 AND alpha_ratio > 0.5 AND digit_ratio < 0.3
+"""
+
+
+def _query_vec(sf_dir: str) -> tuple[np.ndarray, pa.Table]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    qi = ids.index(0) if 0 in ids else 0
+    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
+    return vec, t
+
+
+def q_ann_top10(sf_dir: str) -> ray.data.Dataset:
+    vec, _ = _query_vec(sf_dir)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_bruteforce_topk(ds, vec, k=10)
+
+
+SQL_ANN_TOP10 = """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT v FROM qv)), 4) AS cos
+FROM embeddings
+ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT v FROM qv)), 4) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embed_neardup(sf_dir: str) -> ray.data.Dataset:
+    _, t = _query_vec(sf_dir)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, ids, mat, threshold=0.4)
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# --- non-SQL-expressible operators (driver records rows-only checks) -------
+
+def q_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    return minhash_lsh_pairs(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    return simhash_pairs(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
+    return ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", ["source", "doc_id", "text"]),
+        threshold=0.2)
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: lang_id_batch(b).select(["doc_id", "lang_pred"]), **_PYA)
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        **_PYA)
+
+
+def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    vec, _ = _query_vec(sf_dir)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_lsh_topk(ds, vec, k=10)
+
+
+def q_multimodal(sf_dir: str) -> ray.data.Dataset:
+    media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_media_batch, **_PYA)
+    return media.map_batches(
+        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
+    """Flagship extraction over a deterministic synthetic pages corpus
+    (the driver tables carry no raw-html column; FIXTURES SS1)."""
+    from ..sources.synth import gen_corpus
+    from .extraction import extract_pages, read_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+    out = extract_pages(read_pages(corpus), mode="single_pass",
+                        concurrency=(1, 8), batch_size=32)
+    return out.select_columns(
+        ["url", "doc_type", "lang", "parse_ok", "n_blocks_kept",
+         "n_blocks_dropped"])
+
+
+def queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "events_latest": q_events_latest,
+        "events_json": q_events_json,
+        "lang_stats": q_lang_stats,
+        "topk_docs": q_topk_docs,
+        "distinct_users": q_distinct_users,
+        "length_histogram": q_length_histogram,
+        "part_brands": q_part_brands,
+        "token_totals": q_token_totals,
+        "exact_dedup": q_exact_dedup,
+        "quality_filter": q_quality_filter,
+        "ann_top10": q_ann_top10,
+        "embed_neardup": q_embed_neardup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_decode": q_multimodal,
+        "extract_pages": q_extract_pages,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "segment_revenue": SQL_SEGMENT,
+        "filter_project": SQL_FILTER_PROJECT,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "events_latest": SQL_EVENTS_LATEST,
+        "events_json": SQL_EVENTS_JSON,
+        "lang_stats": SQL_LANG_STATS,
+        "topk_docs": SQL_TOPK_DOCS,
+        "distinct_users": SQL_DISTINCT_USERS,
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "part_brands": SQL_PART_BRANDS,
+        "token_totals": SQL_TOKEN_TOTALS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "ann_top10": SQL_ANN_TOP10,
+        "embed_neardup": SQL_EMBED_NEARDUP,
+    }
