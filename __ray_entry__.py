@@ -27,10 +27,7 @@ def entry() -> Any:
 
     Returns the extraction OUT dataset (url, doc_type, extracted_text, ...).
     """
-    from text_extraction_ray.functions.textstats import (
-        quality_batch,
-        token_count_batch,
-    )
+    from text_extraction_ray.functions.textstats import quality_batch
     from text_extraction_ray.pipelines.extraction import (
         extract_pages,
         read_pages,
@@ -41,8 +38,7 @@ def entry() -> Any:
     # light pass over the driver-provided table (exercises testdata readers)
     docs = read_table("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
     n_quality = (
-        docs.map_batches(lambda b: token_count_batch(quality_batch(b)),
-                         batch_format="pyarrow")
+        docs.map_batches(quality_batch, batch_format="pyarrow")
         .filter(expr="quality_ok")
         .count()
     )

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY SS4.5 scaling protocol).
+
+Default: run the headline extraction pipeline + every queries() entry over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE
+JSON line with per-query seconds.
+
+``--scaling``: run the identical extraction job in two fresh OS processes
+(num_cpus=8 and num_cpus=32) over the same on-disk corpus and report both
+throughputs + scaling efficiency (T8/T32)/4 — the sandbox substitute for
+N vs 4N Ray nodes (BASELINE.md protocol).
+
+Corpus generation is cached in /tmp and excluded from all timings; the
+timed section is read → extract → write (checkpointed flagship job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_SEED = 42
+BENCH_SHARDS = 128
+GIANT_CAP = 2 * 1024 * 1024
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+def _bench_rows(sf_dir: str) -> int:
+    tag = _sf_tag(sf_dir)
+    return {"sf0.001": 2_000, "sf0.01": 8_000, "sf0.1": 60_000}.get(tag, 8_000)
+
+
+def gen_bench_corpus(sf_dir: str, n_rows: int | None = None) -> tuple[str, int]:
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    n = n_rows or _bench_rows(sf_dir)
+    corpus = os.path.join(tempfile.gettempdir(),
+                          f"tx_bench_{_sf_tag(sf_dir)}_{n}")
+    t0 = time.monotonic()
+    gen_corpus(corpus, n, seed=BENCH_SEED, n_shards=BENCH_SHARDS,
+               giant_cap=GIANT_CAP)
+    dt = time.monotonic() - t0
+    if dt > 1.0:
+        print(f"[bench] generated corpus {corpus} ({n} rows) in {dt:.1f}s",
+              file=sys.stderr)
+    return corpus, n
+
+
+def run_extraction(corpus_dir: str, concurrency: int | None = None) -> dict:
+    """Timed section: resumable flagship job, fresh output dir."""
+    from text_extraction_ray.pipelines.job import run_extraction_job
+
+    out_dir = tempfile.mkdtemp(prefix="tx_bench_out_")
+    try:
+        t0 = time.monotonic()
+        summary = run_extraction_job(corpus_dir, out_dir,
+                                     concurrency=concurrency)
+        wall = time.monotonic() - t0
+        docs = summary["cumulative"]["docs_out"]
+        return {"wall_s": wall, "docs": docs,
+                "docs_per_sec": docs / wall if wall else 0.0}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_one_run(args: argparse.Namespace) -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus, n = gen_bench_corpus(sf_dir, args.rows)
+    _init_ray(args.cpus)
+    res = run_extraction(corpus)
+    res.update({"num_cpus": args.cpus, "n_docs": n})
+    print(json.dumps(res))
+
+
+def _materialize(result) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.materialize().count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    corpus, n = gen_bench_corpus(sf_dir)
+    _init_ray(num_cpus)
+
+    headline = run_extraction(corpus)
+    print(f"[bench] extraction: {headline['docs']} docs in "
+          f"{headline['wall_s']:.2f}s = {headline['docs_per_sec']:.0f} docs/s",
+          file=sys.stderr)
+
+    from text_extraction_ray.pipelines.queries import queries
+
+    per_query: dict[str, float] = {}
+    for name, fn in queries().items():
+        t0 = time.monotonic()
+        try:
+            rows = _materialize(fn(sf_dir))
+            per_query[name] = round(time.monotonic() - t0, 3)
+            print(f"[bench] {name}: {per_query[name]:.2f}s ({rows} rows)",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            per_query[name] = -1.0
+            print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "extraction_wall_seconds_read_extract_write",
+        "value": round(headline["wall_s"], 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": n,
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }))
+
+
+def cmd_scaling(args: argparse.Namespace) -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    gen_bench_corpus(sf_dir, args.rows)  # warm the cache before timing
+    runs = {}
+    # The sandbox VM's throughput fluctuates with noisy neighbours; each
+    # config runs `repeat` fresh processes and keeps the fastest, and the
+    # configs are interleaved so a slow phase hits both equally.
+    for attempt in range(args.repeat):
+        for cpus in (args.low, args.high):
+            cmd = [sys.executable, os.path.abspath(__file__), "--one-run",
+                   "--cpus", str(cpus)]
+            if args.rows:
+                cmd += ["--rows", str(args.rows)]
+            print(f"[scaling] fresh process: num_cpus={cpus} "
+                  f"(attempt {attempt + 1}/{args.repeat})", file=sys.stderr)
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  env=os.environ.copy())
+            line = proc.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            print(f"[scaling]   wall {res['wall_s']:.2f}s", file=sys.stderr)
+            if cpus not in runs or res["wall_s"] < runs[cpus]["wall_s"]:
+                runs[cpus] = res
+    t_low = runs[args.low]["wall_s"]
+    t_high = runs[args.high]["wall_s"]
+    ratio = args.high / args.low
+    efficiency = (t_low / t_high) / ratio
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 4),
+        "unit": "ratio",
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "low": {"wall_s": round(t_low, 3),
+                "docs_per_sec": round(runs[args.low]["docs_per_sec"], 1)},
+        "high": {"wall_s": round(t_high, 3),
+                 "docs_per_sec": round(runs[args.high]["docs_per_sec"], 1)},
+        "n_docs": runs[args.high]["n_docs"],
+        "sf": _sf_tag(sf_dir),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-run", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+    if args.one_run:
+        cmd_one_run(args)
+    elif args.scaling:
+        cmd_scaling(args)
+    else:
+        cmd_bench(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""The fused single-pass segmenter must agree with the tokenize()-based
+reference implementation on every corpus row and on adversarial cases."""
+
+from text_extraction_ray.core.html_extract import (
+    segment_blocks,
+    segment_blocks_reference,
+)
+from text_extraction_ray.core.encoding import decode_html, sniff_doc_type
+from text_extraction_ray.sources.synth import make_row
+
+ADVERSARIAL = [
+    "",
+    "plain text only",
+    "<p>a<p>b<p>c",                          # implied closes
+    "<div><script>x<b></script><p>ok</p>",   # rawtext
+    "a<br><br>b<br>c",
+    "<a href='/x'>link</a> tail",
+    "<td>1</td><td>2</td>",
+    "<!-- c --><p>x&amp;y&#65;</p><![CDATA[r < s]]>",
+    "<p>unterminated <b attr='",
+    "< notatag <p>yes</p>",
+    "<SELECT><option>no</option></SELECT><p>after</p>",
+    "<ul><li>a<li>b</ul>",
+    "<h2>head</h2><p>body text here</p>",
+    "<noscript><p>hidden</p></noscript><p>vis</p>",
+    "<script>var a = '</scr' + 'ipt>'</script>ok",
+    "<p>x</p" ,                               # truncated close
+]
+
+
+def _cmp(doc: str) -> None:
+    a = segment_blocks(doc)
+    b = segment_blocks_reference(doc)
+    assert [(x.text, x.tag_path, x.n_link_chars) for x in a] == [
+        (x.text, x.tag_path, x.n_link_chars) for x in b], doc[:80]
+
+
+def test_adversarial_cases():
+    for doc in ADVERSARIAL:
+        _cmp(doc)
+
+
+def test_corpus_equivalence():
+    for i in range(150):
+        row = make_row(i)
+        if sniff_doc_type(row["html"]) != "html":
+            continue
+        text, _ = decode_html(row["html"])
+        _cmp(text)

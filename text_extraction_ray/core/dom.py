@@ -63,7 +63,12 @@ def collapse_ws(text: str) -> str:
 
     NFC normalization is explicitly NOT applied: byte-identity must not
     depend on the unicodedata version (SURVEY SS2.2 M6 invariant).
+    The fast path (all checks are C-level scans) skips the regex when it
+    would be the identity — most web text segments.
     """
+    if ("\n" not in text and "  " not in text and "\t" not in text
+            and "\r" not in text and "\f" not in text and "\x0b" not in text):
+        return text
     return _WS_RE.sub(" ", text)
 
 
@@ -76,6 +81,11 @@ def _attr_has_href(attrs: str) -> bool:
     return i == 0 or low[i - 1] in " \t\n\r\f\"'"
 
 
+_RAWTEXT_CLOSE_RE: dict[str, re.Pattern] = {
+    name: re.compile("</" + name, re.IGNORECASE) for name in RAWTEXT_TAGS
+}
+
+
 def tokenize(doc: str):
     """Single-pass tokenizer over decoded HTML text.
 
@@ -84,7 +94,6 @@ def tokenize(doc: str):
     EOF.  Yields the token tuples documented in the module docstring, plus
     ("start", name, self_closing, has_href) for start tags.
     """
-    low = doc.lower()
     n = len(doc)
     i = 0
     while i < n:
@@ -128,15 +137,15 @@ def tokenize(doc: str):
             m = _TAG_RE.match(doc, lt)
             if m:
                 name = m.group(1).lower()
-                attrs = m.group(2)
                 self_closing = m.group(3) == "/"
-                yield ("start", name, self_closing, _attr_has_href(attrs))
+                has_href = name == "a" and _attr_has_href(m.group(2))
+                yield ("start", name, self_closing, has_href)
                 i = m.end()
                 if name in RAWTEXT_TAGS and not self_closing:
-                    close = low.find("</" + name, i)
-                    if close < 0:
+                    cm = _RAWTEXT_CLOSE_RE[name].search(doc, i)
+                    if cm is None:
                         break  # unterminated raw text swallows the rest
-                    gt = doc.find(">", close)
+                    gt = doc.find(">", cm.start())
                     yield ("end", name)
                     i = n if gt < 0 else gt + 1
                 continue

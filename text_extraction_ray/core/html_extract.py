@@ -13,7 +13,7 @@ promotion).  Constants live in params.py and are hashed into the goldens.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..params import (
     BLOCK_TAGS,
@@ -30,7 +30,7 @@ from ..params import (
     VOID_TAGS,
     WRAP_COLS,
 )
-from .dom import collapse_ws, decode_entities, tokenize
+from .dom import RAWTEXT_TAGS, collapse_ws, decode_entities, tokenize
 from .stopwords import STOPWORDS, stoplist_for, vote_lang
 
 
@@ -48,15 +48,11 @@ class Block:
     heading: bool = False
     cf_class: str = "bad"   # context-free class
     cls: str = "bad"        # final class after revision
-    words: list[str] = field(default_factory=list)
 
 
-def segment_blocks(doc: str) -> list[Block]:
-    """Fold the token stream into normalized text blocks (M4+M5+M6).
-
-    Mirrors the reference's contour→cell-box extraction step (SURVEY SS2.2
-    [RECON]): markup in, ordered candidate regions out.
-    """
+def segment_blocks_reference(doc: str) -> list[Block]:
+    """Reference implementation over dom.tokenize — kept as the equivalence
+    oracle for the fused fast path below (tests/test_fused_equivalence)."""
     blocks: list[Block] = []
     stack: list[str] = []
     skip_depth = 0
@@ -86,15 +82,20 @@ def segment_blocks(doc: str) -> list[Block]:
         if kind == "text":
             if skip_depth:
                 continue
-            piece = collapse_ws(decode_entities(tok[1]))
-            if piece and piece != " ":
+            raw = decode_entities(tok[1])
+            if not raw:
+                continue
+            # collapse happens ONCE at flush; the br-run reset and the
+            # link-char accounting preserve the collapsed-per-piece
+            # semantics exactly (ASCII-ws strip, unicode strip for links)
+            if raw.strip(" \t\n\r\f\x0b"):
                 br_run = 0
-            if piece:
-                if not parts:
-                    path_at_open = "/".join(stack)
-                parts.append(piece)
-                if a_depth:
-                    link_chars += len(piece.strip() or piece)
+            if not parts:
+                path_at_open = "/".join(stack)
+            parts.append(raw)
+            if a_depth:
+                piece = collapse_ws(raw)
+                link_chars += len(piece.strip() or piece)
         elif kind == "start":
             name, self_closing = tok[1], tok[2]
             if name == "br":
@@ -155,17 +156,229 @@ def segment_blocks(doc: str) -> list[Block]:
     return blocks
 
 
+def segment_blocks(doc: str) -> list[Block]:
+    """Fold markup into normalized text blocks (M3+M4+M5+M6, fused).
+
+    Single pass with fully inlined tokenizer dispatch: extraction is
+    memory-bandwidth-bound at high parallelism (BASELINE.md), so the
+    tokenizer from dom.py is inlined here and per-token closures/tuples are
+    eliminated.  Byte-equivalence with the tokenize()-based reference
+    implementation above is asserted by tests/test_fused_equivalence.py and
+    the golden suite.  Mirrors the reference's contour→cell-box extraction
+    step [RECON]: markup in, ordered candidate regions out.
+    """
+    from .dom import _END_TAG_RE, _RAWTEXT_CLOSE_RE, _TAG_RE, _attr_has_href
+
+    blocks: list[Block] = []
+    stack: list[str] = []
+    skip_depth = 0
+    a_depth = 0
+    parts: list[str] = []
+    link_chars = 0
+    br_run = 0
+    path_at_open = ""
+    next_id = 0
+    n = len(doc)
+    i = 0
+    find = doc.find
+    _ws = " \t\n\r\f\x0b"
+
+    def flush() -> None:
+        nonlocal parts, link_chars, next_id, path_at_open
+        if parts:
+            text = collapse_ws("".join(parts)).strip()
+            if text:
+                b = Block(block_id=next_id, tag_path=path_at_open)
+                b.text = text
+                b.n_link_chars = min(link_chars, len(text))
+                blocks.append(b)
+                next_id += 1
+            parts = []
+        link_chars = 0
+        path_at_open = ""
+
+    while i < n:
+        lt = find("<", i)
+        # ---- text run before the next '<' (or to EOF) ----
+        if lt != i:
+            seg = doc[i:lt] if lt >= 0 else doc[i:]
+            if not skip_depth and seg:
+                raw = decode_entities(seg)
+                if raw:
+                    if raw.strip(_ws):
+                        br_run = 0
+                    if not parts:
+                        path_at_open = "/".join(stack)
+                    parts.append(raw)
+                    if a_depth:
+                        piece = collapse_ws(raw)
+                        link_chars += len(piece.strip() or piece)
+            if lt < 0:
+                break
+        if lt + 1 >= n:
+            # trailing bare '<'
+            if not skip_depth:
+                if not parts:
+                    path_at_open = "/".join(stack)
+                parts.append("<")
+            break
+        c = doc[lt + 1]
+        if c.isalpha():
+            m = _TAG_RE.match(doc, lt)
+            if m:
+                g = m.group(1)
+                name = g if g.islower() else g.lower()
+                self_closing = m.group(3) == "/"
+                i = m.end()
+                # ---- start-tag state transitions ----
+                if name == "br":
+                    br_run += 1
+                    if br_run >= 2:
+                        flush()
+                        br_run = 0
+                    else:
+                        parts.append(" ")
+                    continue
+                br_run = 0
+                if name in SKIP_SUBTREES:
+                    flush()
+                    if not self_closing:
+                        skip_depth += 1
+                        stack.append(name)
+                else:
+                    if name in BLOCK_TAGS:
+                        flush()
+                    if name == "a" and _attr_has_href(m.group(2)):
+                        a_depth += 1
+                        stack.append(name)
+                        continue
+                    if not self_closing and name not in VOID_TAGS:
+                        if name in P_CLOSERS and stack and stack[-1] == "p":
+                            stack.pop()
+                        stack.append(name)
+                    elif name in VOID_TAGS and parts:
+                        parts.append(" ")
+                if name in RAWTEXT_TAGS and not self_closing:
+                    cm = _RAWTEXT_CLOSE_RE[name].search(doc, i)
+                    if cm is None:
+                        break
+                    gt = find(">", cm.start())
+                    # ---- end-tag transitions for the rawtext close ----
+                    br_run = 0
+                    if name in stack:
+                        while stack:
+                            popped = stack.pop()
+                            if popped in SKIP_SUBTREES:
+                                skip_depth = max(0, skip_depth - 1)
+                            if popped == name:
+                                break
+                    i = n if gt < 0 else gt + 1
+                continue
+            end = find(">", lt)
+            if end < 0:
+                if not skip_depth:
+                    raw = decode_entities(doc[lt:])
+                    if raw:
+                        if raw.strip(_ws):
+                            br_run = 0
+                        if not parts:
+                            path_at_open = "/".join(stack)
+                        parts.append(raw)
+                        if a_depth:
+                            piece = collapse_ws(raw)
+                            link_chars += len(piece.strip() or piece)
+                break
+            i = end + 1
+            continue
+        if c == "/":
+            m = _END_TAG_RE.match(doc, lt)
+            if m:
+                g = m.group(1)
+                name = g if g.islower() else g.lower()
+                i = m.end()
+                # ---- end-tag state transitions ----
+                br_run = 0
+                if name in SKIP_SUBTREES:
+                    if name in stack:
+                        while stack:
+                            popped = stack.pop()
+                            if popped in SKIP_SUBTREES:
+                                skip_depth = max(0, skip_depth - 1)
+                            if popped == name:
+                                break
+                    continue
+                if name in BLOCK_TAGS:
+                    flush()
+                if name == "a":
+                    if a_depth:
+                        a_depth -= 1
+                    if "a" in stack:
+                        while stack and stack.pop() != "a":
+                            pass
+                    continue
+                if name in stack:
+                    while stack and stack.pop() != name:
+                        pass
+                if parts and name in ("td", "th", "li"):
+                    parts.append(" ")
+            else:
+                end = find(">", lt)
+                i = n if end < 0 else end + 1
+            continue
+        if c == "!":
+            if doc.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+                continue
+            if doc.startswith("<![CDATA[", lt):
+                end = find("]]>", lt + 9)
+                seg = doc[lt + 9 : (end if end >= 0 else n)]
+                if not skip_depth and seg:
+                    raw = decode_entities(seg)
+                    if raw:
+                        if raw.strip(_ws):
+                            br_run = 0
+                        if not parts:
+                            path_at_open = "/".join(stack)
+                        parts.append(raw)
+                        if a_depth:
+                            piece = collapse_ws(raw)
+                            link_chars += len(piece.strip() or piece)
+                i = n if end < 0 else end + 3
+                continue
+            end = find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        if c == "?":
+            end = find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        # '<' followed by junk → literal text
+        if not skip_depth:
+            if not parts:
+                path_at_open = "/".join(stack)
+            parts.append("<")
+        i = lt + 1
+
+    flush()
+    return blocks
+
+
 def featurize(blocks: list[Block], stoplist: frozenset[str]) -> None:
     """Compute per-block features (M7): link/stop density + Boilerpipe-style
     text density (words per WRAP_COLS-wrapped line, Kohlschuetter WSDM'10)."""
+    contains = stoplist.__contains__
     for b in blocks:
-        b.words = b.text.split(" ")
+        # ONE split, on the lowered text: str.lower never creates/removes
+        # spaces, so the word count and per-word membership are identical
+        # to splitting the original and lowering word-by-word
+        lower_words = b.text.lower().split(" ")
         b.n_chars = len(b.text)
-        b.n_words = len(b.words)
+        b.n_words = len(lower_words)
         b.link_density = b.n_link_chars / max(b.n_chars, 1)
         n_lines = max(1, -(-b.n_chars // WRAP_COLS))  # ceil division
         b.text_density = b.n_words / n_lines
-        stops = sum(1 for w in b.words if w.lower() in stoplist)
+        stops = sum(map(contains, lower_words))
         b.stop_density = stops / max(b.n_words, 1)
         b.heading = any(seg in HEADING_TAGS for seg in b.tag_path.split("/"))
 

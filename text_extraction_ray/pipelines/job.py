@@ -110,8 +110,14 @@ def run_extraction_job(
     output_dir: str,
     ckpt_dir: str | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    actor_cpus: int = 2,
 ) -> dict:
     """ray job submit entry: resumable read→extract→write over all shards.
+
+    ``actor_cpus=2`` schedules one parser actor per physical-core pair:
+    extraction is allocation/memory-bandwidth heavy, and measured per-actor
+    throughput COLLAPSES when parser processes share SMT siblings (this
+    box: 390 docs/s/actor at 8 actors vs 268 at 16 — see BASELINE.md).
 
     Returns a summary dict with per-run and cumulative counters.
     """
@@ -129,7 +135,7 @@ def run_extraction_job(
                 cpus = int(ray.cluster_resources().get("CPU", 8))
             except Exception:
                 cpus = 8
-            concurrency = max(1, min(len(pending), cpus))
+            concurrency = max(1, min(len(pending), cpus // actor_cpus))
         items = [{"pid": pid, "path": path} for pid, path in pending]
         work = ray.data.from_items(items, override_num_blocks=len(items))
         metrics = work.map_batches(
@@ -137,6 +143,7 @@ def run_extraction_job(
             fn_constructor_args=(output_dir, ckpt_dir),
             batch_size=1,
             concurrency=concurrency,
+            num_cpus=actor_cpus,
             batch_format="pyarrow",
         ).take_all()
         summary["run_wall_s_per_partition"] = sorted(
