@@ -1,0 +1,65 @@
+"""Flagship CLI — the ``ray job submit`` entry point (SURVEY.md SS3.1).
+
+    ray job submit -- python -m text_extraction_ray.run \
+        --input /data/pages --output /data/out [--ckpt /data/out/_ckpt]
+
+Resumable: re-running after a failure skips every partition whose manifest
+is complete (SS4.4); pass ``--fresh`` to force a full recompute.  Prints a
+lineage/counter report at the end (G1).
+
+This module owns no Ray session when launched via ``ray job submit`` /
+an initialised driver; standalone invocations auto-init local.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="text_extraction_ray.run")
+    ap.add_argument("--input", required=True,
+                    help="pages parquet file or directory of shards")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint/manifest dir (default: <output>/_ckpt)")
+    ap.add_argument("--concurrency", type=int, default=None,
+                    help="extraction actor count (default: CPUs/2)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing manifests and recompute everything")
+    ap.add_argument("--synth-rows", type=int, default=None,
+                    help="generate a synthetic corpus of N rows at --input "
+                         "first (demo/testing)")
+    args = ap.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    if args.synth_rows:
+        from .sources.synth import gen_corpus
+
+        gen_corpus(args.input, args.synth_rows, n_shards=max(
+            8, args.synth_rows // 500))
+
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(args.ckpt or f"{args.output}/_ckpt", ignore_errors=True)
+
+    from .pipelines.job import run_extraction_job
+
+    summary = run_extraction_job(args.input, args.output, args.ckpt,
+                                 concurrency=args.concurrency)
+    json.dump(summary, sys.stdout, indent=2, sort_keys=True)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    ray.shutdown()
+    sys.exit(rc)
