@@ -1,0 +1,60 @@
+"""Pipeline-builder (SURVEY SS2.10) + seeded-sample + native-join tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extraction_ray.pipelines.builder import (
+    available_stages,
+    build_pipeline,
+    register_stage,
+)
+from text_extraction_ray.pipelines.extraction import read_pages
+
+
+def test_unknown_stage_rejected():
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline([{"stage": "nope"}])
+
+
+def test_duplicate_registration_rejected():
+    with pytest.raises(ValueError, match="already registered"):
+        register_stage("extract", lambda ds: ds)
+
+
+def test_builtins_present():
+    names = available_stages()
+    for required in ("extract", "dedup_keep_latest", "filter_lang",
+                     "per_lang_stats", "limit"):
+        assert required in names
+
+
+def test_composed_pipeline(ray_session, tiny_corpus_dir):
+    pipe = build_pipeline([
+        {"stage": "dedup_keep_latest"},
+        {"stage": "extract", "concurrency": 2, "batch_size": 64},
+        {"stage": "filter_lang", "langs": ("en", "de")},
+        {"stage": "filter_minlen", "min_chars": 100},
+    ])
+    rows = pipe(read_pages(tiny_corpus_dir)).take_all()
+    assert rows
+    assert all(r["lang"] in ("en", "de") for r in rows)
+    assert all(len(r["extracted_text"]) >= 100 for r in rows)
+
+
+def test_custom_stage_roundtrip(ray_session, tiny_corpus_dir):
+    register_stage("first_n_urls", lambda ds, n: ds.select_columns(
+        ["url"]).limit(n))
+    pipe = build_pipeline([{"stage": "first_n_urls", "n": 3}])
+    assert len(pipe(read_pages(tiny_corpus_dir)).take_all()) == 3
+
+
+def test_seeded_sample_deterministic(ray_session):
+    from text_extraction_ray.pipelines.queries import q_sample_docs
+
+    a = sorted(r["doc_id"] for r in q_sample_docs(
+        "/root/testdata/sf0.001").take_all())
+    b = sorted(r["doc_id"] for r in q_sample_docs(
+        "/root/testdata/sf0.001").take_all())
+    assert a == b
+    assert 10 < len(a) < 100

@@ -321,6 +321,38 @@ FROM part WHERE p_type LIKE '%ECO%' GROUP BY p_brand
 """
 
 
+def q_join_native(sf_dir: str) -> ray.data.Dataset:
+    """J4: Ray Data's native hash join (shuffle join) — complements the
+    broadcast join in q_segment_revenue; used when BOTH sides are large."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = (
+        joined.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"total_price": 2}), **_PYA)
+
+
+SQL_JOIN_NATIVE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """K3: seeded sample (rows-only check; fraction fixed, seed=42)."""
+    return (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .random_sample(0.1, seed=42)
+    )
+
+
 # --- training-data operators over documents/embeddings ---------------------
 
 def q_token_totals(sf_dir: str) -> ray.data.Dataset:
@@ -488,6 +520,8 @@ def queries() -> dict:
         "distinct_users": q_distinct_users,
         "length_histogram": q_length_histogram,
         "part_brands": q_part_brands,
+        "join_native": q_join_native,
+        "sample_docs": q_sample_docs,
         "token_totals": q_token_totals,
         "exact_dedup": q_exact_dedup,
         "quality_filter": q_quality_filter,
@@ -517,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": SQL_DISTINCT_USERS,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "part_brands": SQL_PART_BRANDS,
+        "join_native": SQL_JOIN_NATIVE,
         "token_totals": SQL_TOKEN_TOTALS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "quality_filter": SQL_QUALITY_FILTER,
