@@ -29,6 +29,7 @@ def entry() -> Any:
     """
     from text_extraction_ray.functions.textstats import quality_batch
     from text_extraction_ray.pipelines.extraction import (
+        EXTRACT_COLUMNS,
         extract_pages,
         read_pages,
     )
@@ -47,8 +48,8 @@ def entry() -> Any:
 
     corpus = os.path.join(tempfile.gettempdir(), "tx_pages_smoke")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
-    out = extract_pages(read_pages(corpus), mode="single_pass",
-                        concurrency=(1, 8), batch_size=32)
+    out = extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
+                        mode="single_pass", concurrency=(1, 8), batch_size=32)
     return out
 
 

@@ -69,3 +69,19 @@ def test_batch_size_invariance(ray_session, tiny_corpus_dir, golden_table):
         ds = read_pages(tiny_corpus_dir)
         out = extract_pages(ds, concurrency=2, batch_size=bs)
         _check_against_golden(out.take_all(), golden_table)
+
+
+def test_input_order_invariance(ray_session, tiny_corpus_dir, golden_table):
+    """SURVEY SS5.3: shuffling input rows must not change per-url bytes."""
+    ds = read_pages(tiny_corpus_dir).random_shuffle(seed=7)
+    out = extract_pages(ds, concurrency=2, batch_size=64)
+    _check_against_golden(out.take_all(), golden_table)
+
+
+def test_column_pruned_read_identical(ray_session, tiny_corpus_dir, golden_table):
+    """Pruning the WET `text` column at the read changes nothing."""
+    from text_extraction_ray.pipelines.extraction import EXTRACT_COLUMNS
+
+    ds = read_pages(tiny_corpus_dir, columns=EXTRACT_COLUMNS)
+    out = extract_pages(ds, concurrency=2, batch_size=64)
+    _check_against_golden(out.take_all(), golden_table)

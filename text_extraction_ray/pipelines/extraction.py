@@ -62,7 +62,7 @@ def read_pages(path: str | list[str], override_num_blocks: int | None = None,
     return ray.data.read_parquet(paths, **kwargs)
 
 
-EXTRACT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+EXTRACT_COLUMNS = ["url", "warc_ts", "html", "lang"]  # `text` pruned
 
 
 def extract_pages(

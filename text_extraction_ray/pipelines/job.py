@@ -58,7 +58,11 @@ class PartitionWorker:
             pf = pq.ParquetFile(shard)
             out_tables = []
             bytes_in = 0
-            for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH):
+            # prune at the read: the WET `text` column (~25% of non-html
+            # bytes) never leaves storage
+            for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,
+                                      columns=["url", "warc_ts", "html",
+                                               "lang"]):
                 t = pa.Table.from_batches([rb])
                 bytes_in += t.column("html").nbytes
                 out_tables.append(self.extractor(t))

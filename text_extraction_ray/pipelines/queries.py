@@ -520,10 +520,12 @@ def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
     from .extraction import extract_pages, read_pages
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    from .extraction import EXTRACT_COLUMNS
+
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
-    out = extract_pages(read_pages(corpus), mode="single_pass",
-                        concurrency=(1, 8), batch_size=32)
+    out = extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
+                        mode="single_pass", concurrency=(1, 8), batch_size=32)
     return out.select_columns(
         ["url", "doc_type", "lang", "parse_ok", "n_blocks_kept",
          "n_blocks_dropped"])

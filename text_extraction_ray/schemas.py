@@ -53,11 +53,22 @@ METRICS = pa.schema(
 )
 
 
+REQUIRED_PAGES_COLUMNS = ("url", "warc_ts", "html", "lang")
+
+
 def validate_pages_schema(schema: pa.Schema) -> None:
-    """Fail fast if the input does not match PAGES (large_string tolerated)."""
+    """Fail fast on a wrong input shape (large_string/binary tolerated).
+
+    The WET ``text`` column is optional: extraction never reads it, and the
+    read should prune it (SURVEY: prune at the read)."""
     names = schema.names
-    if names != PAGES.names:
-        raise ValueError(f"pages schema column mismatch: {names} != {PAGES.names}")
+    missing = [c for c in REQUIRED_PAGES_COLUMNS if c not in names]
+    if missing:
+        raise ValueError(
+            f"pages schema missing columns {missing}; got {names}")
+    extra = [c for c in names if c not in PAGES.names]
+    if extra:
+        raise ValueError(f"pages schema has unexpected columns {extra}")
     for name in names:
         got = schema.field(name).type
         want = PAGES.field(name).type
