@@ -47,3 +47,27 @@ def test_corpus_equivalence():
             continue
         text, _ = decode_html(row["html"])
         _cmp(text)
+
+
+def test_featurize_classify_equivalence():
+    """Lazy fused featurize+classify == full featurize + classify_context_free."""
+    from text_extraction_ray.core.html_extract import (
+        classify_context_free,
+        featurize,
+        featurize_classify,
+    )
+    from text_extraction_ray.core.stopwords import stoplist_for
+
+    sl = stoplist_for("en")
+    for i in range(120):
+        row = make_row(i)
+        if sniff_doc_type(row["html"]) != "html":
+            continue
+        text, _ = decode_html(row["html"])
+        a = segment_blocks(text)
+        b = segment_blocks(text)
+        featurize(a, sl)
+        classify_context_free(a)
+        featurize_classify(b, sl)
+        assert [(x.cf_class, x.heading) for x in a] == [
+            (x.cf_class, x.heading) for x in b]

@@ -383,6 +383,46 @@ def featurize(blocks: list[Block], stoplist: frozenset[str]) -> None:
         b.heading = any(seg in HEADING_TAGS for seg in b.tag_path.split("/"))
 
 
+import re as _re
+
+_HEADING_PATH_RE = _re.compile(r"(?:^|/)h[1-6](?:/|$)")
+
+
+def featurize_classify(blocks: list[Block], stoplist: frozenset[str]) -> None:
+    """Fused M7+M8 phase 1: features computed lazily — a block that the
+    link-density / copyright / length rules already classify never pays for
+    the stopword count (most boilerplate blocks are short).  Identical
+    classification to featurize()+classify_context_free() (golden-checked);
+    only the debug-only fields (text_density, n_words on early-classified
+    blocks) are left at 0 on this fast path."""
+    contains = stoplist.__contains__
+    for b in blocks:
+        text = b.text
+        n = len(text)
+        b.n_chars = n
+        b.link_density = b.n_link_chars / max(n, 1)
+        b.heading = _HEADING_PATH_RE.search(b.tag_path) is not None
+        if b.link_density > MAX_LINK_DENSITY:
+            cls = "bad"
+        elif "\xa9" in text or "&copy" in text:
+            cls = "bad"
+        elif n < LENGTH_LOW:
+            cls = "bad" if b.n_link_chars > 0 else "short"
+        else:
+            lower_words = text.lower().split(" ")
+            b.n_words = len(lower_words)
+            stops = sum(map(contains, lower_words))
+            b.stop_density = sd = stops / max(b.n_words, 1)
+            if sd >= STOPWORDS_HIGH:
+                cls = "good" if n > LENGTH_HIGH else "neargood"
+            elif sd >= STOPWORDS_LOW:
+                cls = "neargood"
+            else:
+                cls = "bad"
+        b.cf_class = cls
+        b.cls = cls
+
+
 def classify_context_free(blocks: list[Block]) -> None:
     """jusText phase 1 (M8): threshold classification into
     bad / short / near-good / good."""
@@ -503,8 +543,7 @@ def extract_html(doc: str, crawl_lang: str = "") -> dict:
         for b in blocks:
             all_words.extend(b.text.split(" "))
         lang = vote_lang(all_words)
-    featurize(blocks, stoplist_for(lang))
-    classify_context_free(blocks)
+    featurize_classify(blocks, stoplist_for(lang))
     classify_context_sensitive(blocks)
     text, spans, kept, dropped = assemble(blocks)
     return {
