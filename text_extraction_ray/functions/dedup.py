@@ -253,11 +253,14 @@ def _jaccard_pairs_in_group(group: pa.Table, id_col: str, text_col: str,
             a, b = order[ai], order[bi]
             inter = len(sets[a] & sets[b])
             union = len(sets[a] | sets[b]) or 1
+            # exact double: both operands are small ints, so the division
+            # is bit-identical to any other engine's (the DuckDB oracle
+            # computes the same i/u — no rounding needed on either side)
             j = inter / union
             if j >= threshold:
                 da.append(min(ids[a], ids[b]))
                 db.append(max(ids[a], ids[b]))
-                jc.append(round(j, 6))
+                jc.append(j)
     return pa.table(
         {
             "doc_a": pa.array(da, type=pa.int64()),

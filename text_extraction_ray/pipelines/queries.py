@@ -532,7 +532,9 @@ def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
 
 
 def queries() -> dict:
-    return {
+    from .queries_ext import queries_ext
+
+    base = {
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "filter_project": q_filter_project,
@@ -561,10 +563,14 @@ def queries() -> dict:
         "multimodal_decode": q_multimodal,
         "extract_pages": q_extract_pages,
     }
+    base.update(queries_ext())
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from .queries_ext import oracle_sql_ext
+
+    base = {
         "pricing_summary": SQL_PRICING,
         "segment_revenue": SQL_SEGMENT,
         "filter_project": SQL_FILTER_PROJECT,
@@ -584,3 +590,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_top10": SQL_ANN_TOP10,
         "embed_neardup": SQL_EMBED_NEARDUP,
     }
+    base.update(oracle_sql_ext())
+    return base

@@ -1,0 +1,373 @@
+"""Extended driver-contract queries (SURVEY SS2.5-2.8 widening).
+
+Second batch of oracled operators beyond pipelines/queries.py:
+
+- top-N per group (window-function analog via groupby().map_groups)
+- 3-way join: native shuffle join (large x large) chained with a
+  broadcast map (tiny dimension) — the two join strategies composed
+- anti-join via Ray Data's native ``left_anti`` join
+- Std/Min/Max/Mean aggregate spread per key
+- per-label embedding centroids via PARTIAL aggregation (per-batch
+  numpy column sums -> tiny (label, dim) groupby — the combiner
+  pattern that keeps the shuffle small at 100 TB)
+- union + distinct count (set semantics over Dataset.union)
+
+plus exact SQL oracles for two previously rows-only operators:
+
+- n-gram Jaccard (functions/dedup.py pairwise verification)
+- stopword-vote language ID (core/stopwords.vote_lang), with the
+  VALUES list generated from the SAME frozen stoplists the engine
+  ships, so the oracle can never drift from the implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from ..core.stopwords import DEFAULT_LANG, STOPWORDS
+
+_PYA = {"batch_format": "pyarrow"}
+_BIG_ORDER = 400_000.0  # high-value order threshold shared by two queries
+
+
+def _round_cols(batch: pa.Table, spec: dict[str, int]) -> pa.Table:
+    for col, nd in spec.items():
+        i = batch.schema.get_field_index(col)
+        batch = batch.set_column(
+            i, col, pc.round(batch.column(col), ndigits=nd))
+    return batch
+
+
+def _read(sf_dir: str, name: str, columns: list[str]) -> ray.data.Dataset:
+    import os
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# --- top-N per group (window analog) ---------------------------------------
+
+def q_topn_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 longest docs per language: the keep-best-N-per-key pattern a
+    training pipeline uses for per-domain capping.  Hash shuffle on the
+    group key, bounded per-group state (heap of N) — no global sort."""
+
+    def topn(g: pa.Table) -> pa.Table:
+        nc = g.column("n_chars").to_pylist()
+        ids = g.column("doc_id").to_pylist()
+        idx = sorted(range(len(ids)), key=lambda i: (-nc[i], ids[i]))[:3]
+        return g.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(topn, **_PYA)
+    )
+
+
+SQL_TOPN_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+# --- 3-way join: shuffle join chained with broadcast map -------------------
+
+def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders x customer via Ray's native hash join (both sides large at
+    scale), then nation attached from a broadcast map (25 rows — never a
+    shuffle), aggregated per nation name."""
+    import os
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation.column("n_nationkey").to_pylist(),
+                                nation.column("n_name").to_pylist())))
+
+    def attach(b: pa.Table) -> pa.Table:
+        m = ray.get(nmap_ref)
+        names = [m.get(k, "") for k in b.column("c_nationkey").to_pylist()]
+        return b.append_column("n_name", pa.array(names, type=pa.string()))
+
+    agg = (
+        joined.map_batches(attach, **_PYA)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"total_price": 2}), **_PYA)
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- anti-join -------------------------------------------------------------
+
+def q_cust_no_bigorder(sf_dir: str) -> ray.data.Dataset:
+    """Customers with NO high-value order, counted per market segment —
+    Ray Data's native left_anti join (duplicate right keys are fine; no
+    pre-distinct needed)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {_BIG_ORDER}")
+        .select_columns(["o_custkey"])
+    )
+    missing = cust.join(big, join_type="left_anti", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",))
+    return (
+        missing.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_CUST_NO_BIGORDER = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {_BIG_ORDER})
+GROUP BY c_mktsegment
+"""
+
+
+# --- aggregate spread per key ----------------------------------------------
+
+def q_value_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type spread: min/max exact, mean 6dp, sample std (ddof=1,
+    = SQL STDDEV) 4dp — the float-rounding discipline from queries.py."""
+    agg = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Mean("value", alias_name="avg_value"),
+            Std("value", ddof=1, alias_name="std_value"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: _round_cols(b, {"avg_value": 6, "std_value": 4}), **_PYA)
+
+
+SQL_VALUE_STATS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(STDDEV(value), 4) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- per-label embedding centroids (partial aggregation) -------------------
+
+def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Mean embedding per label, exploded to (label, dim, avg_val) rows.
+
+    The per-batch combiner emits ONE (sum, count) row per (label, dim)
+    present in the batch — the shuffle moves n_labels x dim tiny rows per
+    batch instead of every vector, the partial-aggregation pattern that
+    makes a 100 TB centroid pass cheap."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b.column("label").to_pylist(), dtype=np.int64)
+        emb = b.column("embedding").combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        n = len(labels)
+        d = flat.size // max(n, 1)
+        mat = flat.reshape(n, d) if n else flat.reshape(0, 0)
+        out_label, out_dim, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = mat[labels == lab]
+            s = sel.sum(axis=0)
+            out_label.extend([int(lab)] * d)
+            out_dim.extend(range(d))
+            out_s.extend(s.tolist())
+            out_n.extend([sel.shape[0]] * d)
+        return pa.table({
+            "label": pa.array(out_label, type=pa.int64()),
+            "dim": pa.array(out_dim, type=pa.int64()),
+            "s": pa.array(out_s, type=pa.float64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    def finalize(b: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(b.column("s"),
+                                 pc.cast(b.column("n"), pa.float64())),
+                       ndigits=4)
+        return pa.table({"label": b.column("label"), "dim": b.column("dim"),
+                         "avg_val": avg})
+
+    agg = (
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(partial, **_PYA)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(finalize, **_PYA)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, embedding,
+                  unnest(generate_series(1, len(embedding))) AS gs
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(gs - 1 AS BIGINT) AS dim,
+       ROUND(SUM(CAST(embedding[gs] AS DOUBLE)) / COUNT(*), 4) AS avg_val
+FROM e GROUP BY label, gs
+"""
+
+
+# --- union + distinct ------------------------------------------------------
+
+def q_union_distinct(sf_dir: str) -> pa.Table:
+    """Distinct order keys across the union of two filtered subsets
+    (urgent-priority OR high-value) — Dataset.union + distinct-count."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        mask = pc.starts_with(b.column("o_orderpriority"), "1-")
+        return b.filter(mask).select(["o_orderkey"])
+
+    def big(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b.column("o_totalprice"), _BIG_ORDER)
+        return b.filter(mask).select(["o_orderkey"])
+
+    u = orders.map_batches(urgent, **_PYA).union(
+        orders.map_batches(big, **_PYA))
+    n = u.groupby("o_orderkey").count().count()
+    return pa.table({"n_orders": pa.array([n], type=pa.int64())})
+
+
+SQL_UNION_DISTINCT = f"""
+SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders FROM (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1-%'
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {_BIG_ORDER}
+)
+"""
+
+
+# --- exact SQL oracles for previously rows-only operators ------------------
+
+# Mirrors functions/dedup.py:_jaccard_pairs_in_group exactly: shingles are
+# 3-word lowercase n-grams with the degenerate-doc rule (docs with < 3
+# words contribute their single truncated shingle, '' for empty docs);
+# jaccard is the raw double i/u (identical IEEE division on both sides);
+# only pairs sharing `source` are compared (the documented partitioning
+# assumption).
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT source, doc_id,
+         regexp_extract_all(lower(text), '\S+') AS ws,
+         len(regexp_extract_all(text, '\S+')) AS nw
+  FROM documents),
+e AS (
+  SELECT source, doc_id, ws,
+         unnest(generate_series(1, greatest(nw - 2, 1))) AS i
+  FROM w),
+sh AS (
+  SELECT DISTINCT source, doc_id,
+         array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM e),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.shingle = b.shingle
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def sql_lang_id() -> str:
+    """SQL twin of core/stopwords.vote_lang, generated from the SAME frozen
+    stoplists: hits = stopword occurrences per lang over lowercased
+    whitespace tokens; winner = max hits, ties by lang code ascending;
+    all-whitespace/empty docs get DEFAULT_LANG."""
+    rows = []
+    for lang in sorted(STOPWORDS):
+        for w in sorted(STOPWORDS[lang]):
+            rows.append("('%s','%s')" % (lang, w.replace("'", "''")))
+    values = ",\n  ".join(rows)
+    lang_list = ",".join("'%s'" % code for code in sorted(STOPWORDS))
+    return rf"""
+WITH sw(lang, w) AS (VALUES
+  {values}),
+langs AS (SELECT unnest([{lang_list}]) AS lang),
+tok AS (
+  SELECT doc_id, lower(u.w) AS w
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(w)),
+cnt AS (
+  SELECT t.doc_id, sw.lang, COUNT(*) AS h
+  FROM tok t JOIN sw ON sw.w = t.w
+  GROUP BY 1, 2),
+hits AS (
+  SELECT d.doc_id, l.lang, COALESCE(c.h, 0) AS h
+  FROM documents d CROSS JOIN langs l
+  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.lang = l.lang),
+best AS (
+  SELECT doc_id, lang FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY h DESC, lang) = 1)
+SELECT d.doc_id,
+       CASE WHEN len(regexp_extract_all(d.text, '\S+')) = 0
+            THEN '{DEFAULT_LANG}' ELSE b.lang END AS lang_pred
+FROM documents d JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+def queries_ext() -> dict:
+    return {
+        "topn_per_lang": q_topn_per_lang,
+        "nation_revenue": q_nation_revenue,
+        "cust_no_bigorder": q_cust_no_bigorder,
+        "value_stats": q_value_stats,
+        "label_centroids": q_label_centroids,
+        "union_distinct": q_union_distinct,
+    }
+
+
+def oracle_sql_ext() -> dict[str, str]:
+    return {
+        "topn_per_lang": SQL_TOPN_PER_LANG,
+        "nation_revenue": SQL_NATION_REVENUE,
+        "cust_no_bigorder": SQL_CUST_NO_BIGORDER,
+        "value_stats": SQL_VALUE_STATS,
+        "label_centroids": SQL_LABEL_CENTROIDS,
+        "union_distinct": SQL_UNION_DISTINCT,
+        # oracles for operators implemented in pipelines/queries.py
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "lang_id": sql_lang_id(),
+    }
