@@ -101,6 +101,31 @@ def test_multimodal_decodes(registry):
     assert (df["n_pixels"] > 0).all()
 
 
+def test_media_resize_chain(registry):
+    qs, _ = registry
+    df = _to_pandas(qs["media_resize"](SF_DIR))
+    assert len(df) == 500
+    assert bool(df["decode_ok"].all())
+    # resized rasters fit max_dim=16 in both dimensions
+    assert (df["n_pixels"] <= 16 * 16).all()
+    assert (df["n_pixels"] > 0).all()
+
+
+def test_video_frame_sampling(registry):
+    import pyarrow.parquet as pq
+
+    qs, _ = registry
+    df = _to_pandas(qs["video_frames"](SF_DIR))
+    ids = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    # every 4th frame of 4 + id % 9 frames per doc
+    expected = sum(len(range(0, 4 + i % 9, 4)) for i in ids)
+    assert len(df) == expected
+    assert bool(df["decode_ok"].all())
+    assert "frame_idx" in df.columns
+    assert (df[df["frame_idx"] == 0].shape[0]) == len(ids)
+
+
 def test_lang_id_mostly_matches_label(registry):
     qs, _ = registry
     df = _to_pandas(qs["lang_id"](SF_DIR))

@@ -513,6 +513,37 @@ def q_multimodal(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Thumbnailing chain: synth media → resize actor pool → decode actor
+    pool — the sampled frames/resized rasters flow through the same decode
+    stage, proving the stages compose."""
+    from ..functions.multimodal import FakeImageResizer
+
+    media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_media_batch, **_PYA)
+    resized = media.map_batches(
+        FakeImageResizer, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow", zero_copy_batch=True)
+    return resized.map_batches(
+        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_video_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling: synth video → every-4th-frame sampler (one→many
+    rows) → per-frame decode."""
+    from ..functions.multimodal import FrameSampler, synth_video_batch
+
+    video = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_video_batch, **_PYA)
+    frames = video.map_batches(
+        FrameSampler, concurrency=(1, 4), batch_size=8,
+        batch_format="pyarrow", zero_copy_batch=True)
+    return frames.map_batches(
+        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
     """Flagship extraction over a deterministic synthetic pages corpus
     (the driver tables carry no raw-html column; FIXTURES SS1)."""
@@ -561,6 +592,8 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
         "multimodal_decode": q_multimodal,
+        "media_resize": q_media_resize,
+        "video_frames": q_video_frames,
         "extract_pages": q_extract_pages,
     }
     base.update(queries_ext())
