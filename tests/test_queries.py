@@ -144,3 +144,17 @@ def test_ann_lsh_subset_of_bruteforce_corpus(registry):
     brute = _to_pandas(qs["ann_top10"](SF_DIR))
     assert len(lsh) <= 10
     assert set(lsh.columns) == set(brute.columns)
+
+
+def test_ann_ivf_recall_vs_bruteforce(registry):
+    qs, _ = registry
+    ivf = _to_pandas(qs["ann_ivf"](SF_DIR))
+    brute = _to_pandas(qs["ann_top10"](SF_DIR))
+    assert len(ivf) <= 10
+    assert set(ivf.columns) == set(brute.columns)
+    # scores carried by shared ids must agree with brute force exactly
+    merged = ivf.merge(brute, on="vec_id", suffixes=("_ivf", "_bf"))
+    assert (merged["cos_ivf"] == merged["cos_bf"]).all()
+    # probing 4/16 lists should still recover most of the true top-10
+    recall = len(merged) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall}"

@@ -98,6 +98,65 @@ def ann_lsh_topk(ds: ray.data.Dataset, query_vec: np.ndarray, k: int = 10,
     return ann_bruteforce_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+_IVF_SEED = 7
+_IVF_ITERS = 8
+
+
+def ivf_train_centroids(sample: np.ndarray, n_lists: int = 16) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) training sample:
+    seeded init, fixed iteration count, empty clusters re-seeded from the
+    worst-assigned points.  Runs driver-side on a SMALL sample only."""
+    mat = _normalize(sample)
+    rs = np.random.RandomState(_IVF_SEED)
+    n_lists = min(n_lists, len(mat))
+    cent = mat[rs.choice(len(mat), size=n_lists, replace=False)]
+    for _ in range(_IVF_ITERS):
+        sims = mat @ cent.T                      # (n, k) cosine
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members) == 0:                # re-seed from worst fit
+                cent[c] = mat[sims.max(axis=1).argmin()]
+            else:
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_ivf_topk(ds: ray.data.Dataset, query_vec: np.ndarray, k: int = 10,
+                 n_lists: int = 16, nprobe: int = 4,
+                 train_sample: int = 4096, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> ray.data.Dataset:
+    """IVF-style ANN (the coarse-quantizer scale path): train centroids
+    driver-side on a bounded sample, broadcast them, assign every vector
+    to its nearest list inside ``map_batches``, and brute-force only the
+    ``nprobe`` lists nearest the query (~nprobe/n_lists of the corpus).
+
+    ``nprobe == n_lists`` degrades gracefully to exact brute force."""
+    sample = ds.limit(train_sample).take_batch(train_sample,
+                                               batch_format="pyarrow")
+    cent = ivf_train_centroids(
+        _matrix_from_batch(sample, vec_col), n_lists)
+    cent_ref = ray.put(cent)
+
+    q = query_vec.astype(np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe_lists = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_matrix_from_batch(batch, vec_col))
+        lists = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists, type=pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    probe_expr = " or ".join(f"ivf_list == {c}" for c in sorted(probe_lists))
+    candidates = assigned.filter(expr=probe_expr)
+    return ann_bruteforce_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def embedding_neardup_pairs(ds: ray.data.Dataset, corpus_ids: np.ndarray,
                             corpus_mat: np.ndarray, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding"

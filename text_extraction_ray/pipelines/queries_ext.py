@@ -273,6 +273,99 @@ SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders FROM (
 """
 
 
+# --- gap-based sessionization (windowed custom operator) -------------------
+
+def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Sessionize each user's event stream with a 30-minute inactivity gap
+    — the windowed operator Ray Data lacks natively, composed as
+    hash-shuffle on the key + an ordered scan INSIDE each group.
+    PARTITIONING ASSUMPTION: one user's events fit one group (true for
+    event streams keyed by user; a hot key would need time-bucketing)."""
+    import datetime as _dt
+
+    gap = _dt.timedelta(minutes=30)
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = sorted(g.column("ts").to_pylist())
+        n_sessions = 1 + sum(1 for a, b in zip(ts, ts[1:]) if (b - a) > gap)
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            "n_events": pa.array([len(ts)], type=pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, **_PYA)
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id,
+       CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+# --- exact per-group quantiles ---------------------------------------------
+
+def q_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact p50/p90/p99 of document length per language: per-group sort
+    (small groups after the key shuffle) + linear interpolation — the same
+    definition as SQL quantile_cont / numpy 'linear'."""
+
+    def qtl(g: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(g.column("n_chars").to_pylist(),
+                               dtype=np.float64))
+        p50, p90, p99 = (round(float(np.percentile(v, p)), 6)
+                         for p in (50, 90, 99))
+        return pa.table({
+            "lang": g.column("lang").slice(0, 1),
+            "p50": pa.array([p50], type=pa.float64()),
+            "p90": pa.array([p90], type=pa.float64()),
+            "p99": pa.array([p99], type=pa.float64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(qtl, **_PYA)
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.90), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+# --- IVF ANN (rows-only: approximate by construction) ----------------------
+
+def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from ..functions.similarity import ann_ivf_topk
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qi = ids.index(0) if 0 in ids else 0
+    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
+
+
 # --- exact SQL oracles for previously rows-only operators ------------------
 
 # Mirrors functions/dedup.py:_jaccard_pairs_in_group exactly: shingles are
@@ -356,6 +449,9 @@ def queries_ext() -> dict:
         "value_stats": q_value_stats,
         "label_centroids": q_label_centroids,
         "union_distinct": q_union_distinct,
+        "user_sessions": q_user_sessions,
+        "length_quantiles": q_length_quantiles,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -367,6 +463,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "value_stats": SQL_VALUE_STATS,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "union_distinct": SQL_UNION_DISTINCT,
+        "user_sessions": SQL_USER_SESSIONS,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
