@@ -1,0 +1,64 @@
+"""Hot-key skew handling: salted two-phase aggregation (SURVEY SS2 custom
+operators / "salt hot keys").
+
+A plain ``groupby(key)`` hash-shuffles every row of a hot key to ONE
+reducer; with few distinct keys (e.g. 5 event types over 10^11 rows) that
+reducer is the job.  The salted pattern:
+
+  phase 1  map_batches: append salt = row_hash % n_salts
+           groupby (key, salt) -> partial aggregates   (n_keys x n_salts
+           groups spread across ALL reducers)
+  phase 2  groupby key over the tiny partial table -> final aggregates
+
+Phase 2's input is n_keys x n_salts rows regardless of data size, so the
+second shuffle is trivially cheap.  Results are exactly equal to the
+unsalted aggregate (counts and integer-weighted sums are associative;
+float sums agree to reordering, handled by the caller's rounding policy).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+DEFAULT_SALTS = 8
+
+
+def salted_count_sum(ds: ray.data.Dataset, key_col: str, value_col: str,
+                     n_salts: int = DEFAULT_SALTS,
+                     salt_source: str | None = None) -> ray.data.Dataset:
+    """groupby(key).count()+sum(value) via salt-spread two-phase shuffle.
+
+    ``salt_source``: an int64 column to derive the salt from (defaults to a
+    per-row modulo over a monotonically-derived hash of the value's bits —
+    any even spread works; correctness never depends on the salt).
+    Returns columns (key_col, n_rows, sum_<value_col>).
+    """
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if salt_source is not None:
+            src = pc.cast(b.column(salt_source), pa.int64())
+        else:
+            # spread rows round-robin within the batch: even, allocation-free
+            src = pa.array(range(b.num_rows), type=pa.int64())
+        salt = pc.cast(
+            pc.subtract(src, pc.multiply(pc.divide(src, n_salts),
+                                         pa.scalar(n_salts, pa.int64()))),
+            pa.int8())
+        return b.append_column("salt", salt)
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key_col, "salt"])
+        .aggregate(Count(alias_name="pc_n"),
+                   Sum(value_col, alias_name="pc_s"))
+    )
+    final = (
+        partial.groupby(key_col)
+        .aggregate(Sum("pc_n", alias_name="n_rows"),
+                   Sum("pc_s", alias_name=f"sum_{value_col}"))
+    )
+    return final

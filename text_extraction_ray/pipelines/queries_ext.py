@@ -349,6 +349,58 @@ FROM documents GROUP BY lang
 """
 
 
+# --- salted two-phase aggregate over a hot-keyed table ---------------------
+
+def q_events_salted_sum(sf_dir: str) -> ray.data.Dataset:
+    """5 event types = 5 hot keys: the salted two-phase aggregate spreads
+    each key over 8 salt buckets so no single reducer owns a key.  Result
+    is exactly the plain groupby (oracle = unsalted SQL)."""
+    from ..functions.skew import salted_count_sum
+
+    out = salted_count_sum(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key_col="event_type", value_col="value")
+    return out.map_batches(lambda b: _round_cols(b, {"sum_value": 2}), **_PYA)
+
+
+SQL_EVENTS_SALTED_SUM = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- string functions: first-word extraction + aggregate -------------------
+
+def q_part_first_word(sf_dir: str) -> ray.data.Dataset:
+    """Scalar string coverage (SURVEY SS2.8): split + element + aggregate,
+    all pyarrow.compute kernels."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("p_name"), " ")
+        first = pc.list_element(words, 0)
+        return pa.table({"word": first,
+                         "p_retailprice": b.column("p_retailprice")})
+
+    agg = (
+        _read(sf_dir, "part", ["p_name", "p_retailprice"])
+        .map_batches(fn, **_PYA)
+        .groupby("word")
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"avg_price": 6}), **_PYA)
+
+
+SQL_PART_FIRST_WORD = """
+SELECT split_part(p_name, ' ', 1) AS word,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(p_retailprice), 6) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
 # --- IVF ANN (rows-only: approximate by construction) ----------------------
 
 def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
@@ -452,6 +504,8 @@ def queries_ext() -> dict:
         "user_sessions": q_user_sessions,
         "length_quantiles": q_length_quantiles,
         "ann_ivf": q_ann_ivf,
+        "events_salted_sum": q_events_salted_sum,
+        "part_first_word": q_part_first_word,
     }
 
 
@@ -465,6 +519,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "union_distinct": SQL_UNION_DISTINCT,
         "user_sessions": SQL_USER_SESSIONS,
         "length_quantiles": SQL_LENGTH_QUANTILES,
+        "events_salted_sum": SQL_EVENTS_SALTED_SUM,
+        "part_first_word": SQL_PART_FIRST_WORD,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
