@@ -1,0 +1,109 @@
+"""Block-explain debug table + CSV sink parity tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory, ray_session):
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    d = str(tmp_path_factory.mktemp("explain_corpus"))
+    gen_corpus(d, 120, seed=42, n_shards=4)
+    return d
+
+
+def test_explain_good_blocks_reassemble_extraction(corpus_dir, ray_session):
+    """The debug table is tied to the byte contract: joining cls=='good'
+    block texts with the JOINER must reproduce extracted_text per url."""
+    from text_extraction_ray.params import JOINER
+    from text_extraction_ray.pipelines.analysis import explain_blocks
+    from text_extraction_ray.pipelines.extraction import (
+        EXTRACT_COLUMNS,
+        extract_pages,
+        read_pages,
+    )
+
+    out = extract_pages(read_pages(corpus_dir, columns=EXTRACT_COLUMNS),
+                        mode="single_pass", concurrency=(1, 4),
+                        batch_size=32).to_pandas()
+    # urls repeat across re-crawls: key everything by (url, warc_ts)
+    html = out[out["doc_type"] == "html"].set_index(["url", "warc_ts"])
+    assert len(html) > 20
+
+    blocks = explain_blocks(read_pages(corpus_dir),
+                            concurrency=(1, 4)).to_pandas()
+    assert set(blocks["cls"]) <= {"good", "bad"}  # phase 2 resolves all
+    rebuilt = (
+        blocks[blocks["cls"] == "good"]
+        .sort_values(["url", "warc_ts", "block_id"])
+        .groupby(["url", "warc_ts"])["text"]
+        .apply(lambda s: JOINER.join(s))
+    )
+    for key, row in html.iterrows():
+        assert rebuilt.get(key, "") == row["extracted_text"], key
+    # every html page appears in the block table (even all-dropped ones)
+    keys = set(zip(blocks["url"], blocks["warc_ts"]))
+    assert set(html.index) <= keys
+
+
+def test_job_csv_output_matches_parquet(corpus_dir, tmp_path, ray_session):
+    from text_extraction_ray.pipelines.job import run_extraction_job
+
+    pdir, cdir = str(tmp_path / "pq"), str(tmp_path / "csv")
+    run_extraction_job(corpus_dir, pdir, concurrency=2)
+    summary = run_extraction_job(corpus_dir, cdir, concurrency=2,
+                                 output_format="csv")
+    assert summary["partitions_run"] == 4
+
+    csv_types = {
+        "url": pa.string(), "lang": pa.string(), "doc_type": pa.string(),
+        "extracted_text": pa.string(), "spans": pa.string(),
+        "error": pa.string(), "n_blocks_kept": pa.int64(),
+        "n_blocks_dropped": pa.int64(), "parse_ok": pa.bool_(),
+    }
+
+    def read_csv(p):
+        return pacsv.read_csv(
+            p, convert_options=pacsv.ConvertOptions(
+                column_types=csv_types, strings_can_be_null=False))
+
+    def read_all(root, ext, reader):
+        parts = []
+        for part in sorted(os.listdir(root)):
+            p = os.path.join(root, part, f"data.{ext}")
+            if part.startswith("part=") and os.path.exists(p):
+                parts.append(reader(p))
+        return pa.concat_tables(parts)
+
+    t_pq = read_all(pdir, "parquet", pq.read_table)
+    t_csv = read_all(cdir, "csv", read_csv)
+    assert t_csv.num_rows == t_pq.num_rows
+    assert t_csv.column("url").to_pylist() == t_pq.column("url").to_pylist()
+    assert (t_csv.column("extracted_text").to_pylist()
+            == [t or "" for t in t_pq.column("extracted_text").to_pylist()]) or (
+        [t or "" for t in t_csv.column("extracted_text").to_pylist()]
+        == [t or "" for t in t_pq.column("extracted_text").to_pylist()])
+    # spans survive as JSON
+    spans_csv = [json.loads(s) for s in t_csv.column("spans").to_pylist()]
+    spans_pq = [[[d["start"], d["end"]] for d in row]
+                for row in t_pq.column("spans").to_pylist()]
+    assert [[[s["start"], s["end"]] for s in row] for row in spans_csv] == spans_pq
+
+
+def test_csv_job_resumes(corpus_dir, tmp_path, ray_session):
+    from text_extraction_ray.pipelines.job import run_extraction_job
+
+    cdir = str(tmp_path / "csv2")
+    run_extraction_job(corpus_dir, cdir, concurrency=2, output_format="csv")
+    again = run_extraction_job(corpus_dir, cdir, concurrency=2,
+                               output_format="csv")
+    assert again["partitions_run"] == 0
+    assert again["partitions_skipped"] == 4

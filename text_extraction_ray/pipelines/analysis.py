@@ -109,3 +109,86 @@ def filter_minlen(out_ds: ray.data.Dataset, min_chars: int) -> ray.data.Dataset:
         return b.filter(pc.greater_equal(n, min_chars))
 
     return out_ds.map_batches(fn, batch_format="pyarrow")
+
+
+class BlockExplainer:
+    """Explain/debug stage: one output row per DOM block with the full
+    feature vector and final class — SURVEY SS1.3's BLOCK table.  Answers
+    "why was this block kept/dropped" per url.  Actor-pool stage (compiled
+    heuristics built once); html docs only — pdf/other rows yield no rows.
+
+    Uses the reference (non-fused) featurize so every debug field
+    (text_density, n_words) is populated even for blocks the fused hot
+    path classifies early.
+    """
+
+    def __init__(self) -> None:
+        from ..core import html_extract  # state: modules + stoplists warm
+
+        self._hx = html_extract
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.encoding import decode_html, sniff_doc_type
+        from ..core.stopwords import STOPWORDS, stoplist_for, vote_lang
+
+        hx = self._hx
+        cols: dict[str, list] = {k: [] for k in (
+            "url", "warc_ts", "block_id", "tag_path", "text", "n_chars",
+            "n_words", "n_link_chars", "link_density", "text_density",
+            "stop_density", "cls")}
+        for url, warc_ts, payload, crawl_lang in zip(
+            batch.column("url").to_pylist(),
+            batch.column("warc_ts").to_pylist(),
+            batch.column("html").to_pylist(),
+            batch.column("lang").to_pylist(),
+        ):
+            if sniff_doc_type(payload or b"") != "html":
+                continue
+            text, _ = decode_html(payload)
+            blocks = hx.segment_blocks(text)
+            lang = crawl_lang if crawl_lang in STOPWORDS else ""
+            if not lang:
+                words: list[str] = []
+                for b in blocks:
+                    words.extend(b.text.split(" "))
+                lang = vote_lang(words)
+            hx.featurize(blocks, stoplist_for(lang))
+            hx.classify_context_free(blocks)
+            hx.classify_context_sensitive(blocks)
+            for b in blocks:
+                cols["url"].append(url)
+                cols["warc_ts"].append(warc_ts)
+                cols["block_id"].append(b.block_id)
+                cols["tag_path"].append(b.tag_path)
+                cols["text"].append(b.text)
+                cols["n_chars"].append(b.n_chars)
+                cols["n_words"].append(b.n_words)
+                cols["n_link_chars"].append(b.n_link_chars)
+                cols["link_density"].append(b.link_density)
+                cols["text_density"].append(b.text_density)
+                cols["stop_density"].append(b.stop_density)
+                cols["cls"].append(b.cls)
+        return pa.table({
+            "url": pa.array(cols["url"], type=pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"],
+                                type=pa.timestamp("us")),
+            "block_id": pa.array(cols["block_id"], type=pa.int32()),
+            "tag_path": pa.array(cols["tag_path"], type=pa.string()),
+            "text": pa.array(cols["text"], type=pa.string()),
+            "n_chars": pa.array(cols["n_chars"], type=pa.int32()),
+            "n_words": pa.array(cols["n_words"], type=pa.int32()),
+            "n_link_chars": pa.array(cols["n_link_chars"], type=pa.int32()),
+            "link_density": pa.array(cols["link_density"], type=pa.float64()),
+            "text_density": pa.array(cols["text_density"], type=pa.float64()),
+            "stop_density": pa.array(cols["stop_density"], type=pa.float64()),
+            "cls": pa.array(cols["cls"], type=pa.string()),
+        })
+
+
+def explain_blocks(pages_ds: ray.data.Dataset,
+                   concurrency=(1, 8), batch_size: int = 64
+                   ) -> ray.data.Dataset:
+    """Per-block debug table over a PAGES dataset (url, html, lang cols)."""
+    return pages_ds.map_batches(
+        BlockExplainer, concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -34,6 +34,7 @@ from ..state.checkpoint import (
     prune_done,
     sha256_of_column,
     sum_counters,
+    write_atomic_csv,
     write_atomic_parquet,
     write_manifest,
 )
@@ -44,9 +45,13 @@ _ROWGROUP_BATCH = 256
 class PartitionWorker:
     """Actor: processes whole partitions (read → extract → write → manifest)."""
 
-    def __init__(self, output_dir: str, ckpt_dir: str) -> None:
+    def __init__(self, output_dir: str, ckpt_dir: str,
+                 output_format: str = "parquet") -> None:
+        if output_format not in ("parquet", "csv"):
+            raise ValueError(f"unsupported output_format {output_format!r}")
         self.output_dir = output_dir
         self.ckpt_dir = ckpt_dir
+        self.output_format = output_format
         self.extractor = Extractor(validate_schema=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -70,9 +75,14 @@ class PartitionWorker:
             if out is None or out.num_rows == 0:
                 out = out_tables[0] if out_tables else pa.table({})
             out = out.sort_by("url")  # byte-stable row order within partition
-            data_path = os.path.join(
-                partition_out_dir(self.output_dir, pid), "data.parquet")
-            write_atomic_parquet(out, data_path)
+            if self.output_format == "csv":
+                data_path = os.path.join(
+                    partition_out_dir(self.output_dir, pid), "data.csv")
+                write_atomic_csv(out, data_path)
+            else:
+                data_path = os.path.join(
+                    partition_out_dir(self.output_dir, pid), "data.parquet")
+                write_atomic_parquet(out, data_path)
             failed = pc.sum(pc.cast(pc.invert(out.column("parse_ok")),
                                     pa.int64())).as_py() or 0
             counters = {
@@ -115,6 +125,7 @@ def run_extraction_job(
     ckpt_dir: str | None = None,
     concurrency: int | tuple[int, int] | None = None,
     actor_cpus: int = 2,
+    output_format: str = "parquet",
 ) -> dict:
     """ray job submit entry: resumable read→extract→write over all shards.
 
@@ -144,7 +155,7 @@ def run_extraction_job(
         work = ray.data.from_items(items, override_num_blocks=len(items))
         metrics = work.map_batches(
             PartitionWorker,
-            fn_constructor_args=(output_dir, ckpt_dir),
+            fn_constructor_args=(output_dir, ckpt_dir, output_format),
             batch_size=1,
             concurrency=concurrency,
             num_cpus=actor_cpus,

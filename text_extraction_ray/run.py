@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="extraction actor count (default: CPUs/2)")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing manifests and recompute everything")
+    ap.add_argument("--format", choices=("parquet", "csv"), default="parquet",
+                    help="partition output format (csv echoes the "
+                         "reference's CSV output; spans JSON-encoded)")
     ap.add_argument("--synth-rows", type=int, default=None,
                     help="generate a synthetic corpus of N rows at --input "
                          "first (demo/testing)")
@@ -53,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.job import run_extraction_job
 
     summary = run_extraction_job(args.input, args.output, args.ckpt,
-                                 concurrency=args.concurrency)
+                                 concurrency=args.concurrency,
+                                 output_format=args.format)
     json.dump(summary, sys.stdout, indent=2, sort_keys=True)
     print()
     return 0

@@ -43,6 +43,32 @@ def write_atomic_parquet(table: pa.Table, final_path: str) -> str:
     return final_path
 
 
+def write_atomic_csv(table: pa.Table, final_path: str) -> str:
+    """CSV sink variant (the reference emits CSV): nested columns (spans)
+    are JSON-encoded strings so the file stays flat; same tmp+rename
+    atomicity as parquet."""
+    import json
+
+    import pyarrow.csv as pacsv
+
+    cols = {}
+    for name in table.schema.names:
+        col = table.column(name)
+        if pa.types.is_nested(col.type):
+            cols[name] = pa.array(
+                [json.dumps(v) for v in col.to_pylist()], type=pa.string())
+        else:
+            cols[name] = col
+    flat = pa.table(cols)
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + ".tmp"
+    pacsv.write_csv(flat, tmp)
+    with open(tmp, "rb+") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, final_path)
+    return final_path
+
+
 def sha256_of_column(table: pa.Table, column: str) -> str:
     """Order-dependent digest over a string column (rows pre-sorted by url)."""
     h = hashlib.sha256()
@@ -98,8 +124,9 @@ def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
         return False  # extraction constants changed → recompute
     if m.get("input_fragments") != expected_fragments:
         return False
-    data = os.path.join(partition_out_dir(output_dir, pid), "data.parquet")
-    return os.path.exists(data)
+    pdir = partition_out_dir(output_dir, pid)
+    return (os.path.exists(os.path.join(pdir, "data.parquet"))
+            or os.path.exists(os.path.join(pdir, "data.csv")))
 
 
 def prune_done(shards: list[str], output_dir: str,
