@@ -1,0 +1,110 @@
+"""WARC source: writer/parser roundtrip + extraction parity with parquet."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from text_extraction_ray.sources.warc import parse_warc, write_warc
+
+TS = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def test_roundtrip_plain_and_gz(tmp_path):
+    records = [
+        ("https://a.example/x", TS, b"<html><body><p>hello</p></body></html>"),
+        # body that CONTAINS a WARC header marker — content-length framing
+        # must not resync mid-record
+        ("https://a.example/y", TS, b"<p>fake WARC/1.0\r\n\r\nrecord</p>"),
+        ("https://a.example/z", TS, b""),
+    ]
+    for gz in (False, True):
+        p = str(tmp_path / f"t{'gz' if gz else ''}.warc")
+        write_warc(p, records, gzip_members=gz)
+        got = list(parse_warc(open(p, "rb").read()))
+        assert [(u, t, b) for u, t, b in got] == records
+
+
+def test_non_response_records_skipped(tmp_path):
+    raw = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+           b"info\r\n\r\n")
+    p = str(tmp_path / "w.warc")
+    write_warc(p, [("https://a.example/x", TS, b"<p>x</p>")])
+    data = raw + open(p, "rb").read()
+    got = list(parse_warc(data))
+    assert len(got) == 1 and got[0][0] == "https://a.example/x"
+
+
+@pytest.fixture(scope="module")
+def warc_corpus(tmp_path_factory, ray_session):
+    """The synth parquet corpus re-packaged as WARC shards."""
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    pdir = str(tmp_path_factory.mktemp("warc_pages"))
+    gen_corpus(pdir, 120, seed=42, n_shards=4)
+    wdir = str(tmp_path_factory.mktemp("warc_shards"))
+    for shard in sorted(f for f in os.listdir(pdir)
+                        if f.endswith(".parquet")):
+        t = pq.read_table(os.path.join(pdir, shard),
+                          columns=["url", "warc_ts", "html"])
+        recs = list(zip(t.column("url").to_pylist(),
+                        t.column("warc_ts").to_pylist(),
+                        [b or b"" for b in t.column("html").to_pylist()]))
+        write_warc(os.path.join(wdir, shard + ".warc.gz"), recs,
+                   gzip_members=True)
+    return pdir, wdir
+
+
+def test_warc_extraction_matches_parquet(warc_corpus, ray_session):
+    from text_extraction_ray.pipelines.extraction import (
+        EXTRACT_COLUMNS,
+        extract_pages,
+        read_pages,
+    )
+    from text_extraction_ray.sources.warc import read_warc_pages
+
+    pdir, wdir = warc_corpus
+    via_pq = extract_pages(read_pages(pdir, columns=EXTRACT_COLUMNS),
+                           mode="single_pass", concurrency=(1, 4),
+                           batch_size=32).to_pandas()
+    via_warc = extract_pages(read_warc_pages(wdir), mode="single_pass",
+                             concurrency=(1, 4), batch_size=32).to_pandas()
+    key = ["url", "warc_ts"]
+    a = via_pq.set_index(key).sort_index()
+    b = via_warc.set_index(key).sort_index()
+    assert len(a) == len(b) == 120
+    assert (a["extracted_text"] == b["extracted_text"]).all()
+    assert (a["doc_type"] == b["doc_type"]).all()
+
+
+def test_checkpointed_job_over_warc(warc_corpus, tmp_path, ray_session):
+    """The flagship resumable job consumes .warc.gz shards directly and
+    produces the same extracted bytes as the parquet run."""
+    import pandas as pd
+
+    from text_extraction_ray.pipelines.job import run_extraction_job
+
+    pdir, wdir = warc_corpus
+    out_pq = str(tmp_path / "from_pq")
+    out_wc = str(tmp_path / "from_warc")
+    run_extraction_job(pdir, out_pq, concurrency=2)
+    summary = run_extraction_job(wdir, out_wc, concurrency=2)
+    assert summary["partitions_run"] == 4
+
+    def collect(root):
+        parts = []
+        for part in sorted(os.listdir(root)):
+            p = os.path.join(root, part, "data.parquet")
+            if part.startswith("part=") and os.path.exists(p):
+                parts.append(pq.read_table(p).to_pandas())
+        return (pd.concat(parts).set_index(["url", "warc_ts"]).sort_index())
+
+    a, b = collect(out_pq), collect(out_wc)
+    assert len(a) == len(b) == 120
+    assert (a["extracted_text"] == b["extracted_text"]).all()
+
+    again = run_extraction_job(wdir, out_wc, concurrency=2)
+    assert again["partitions_run"] == 0

@@ -60,15 +60,9 @@ class PartitionWorker:
             batch.column("pid").to_pylist(), batch.column("path").to_pylist()
         ):
             t0 = time.monotonic()
-            pf = pq.ParquetFile(shard)
             out_tables = []
             bytes_in = 0
-            # prune at the read: the WET `text` column (~25% of non-html
-            # bytes) never leaves storage
-            for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,
-                                      columns=["url", "warc_ts", "html",
-                                               "lang"]):
-                t = pa.Table.from_batches([rb])
+            for t in _iter_shard_tables(shard):
                 bytes_in += t.column("html").nbytes
                 out_tables.append(self.extractor(t))
             out = pa.concat_tables(out_tables) if out_tables else None
@@ -110,11 +104,50 @@ class PartitionWorker:
         return pa.Table.from_pylist(metrics_rows)
 
 
+_SHARD_EXTS = (".parquet", ".warc", ".warc.gz")
+
+
+def _iter_shard_tables(shard: str):
+    """Row-group/record batches of one input shard; parquet reads prune
+    the WET `text` column at the storage layer (it never leaves disk),
+    WARC shards (Common Crawl's native format) parse record-streamed."""
+    if shard.endswith((".warc", ".warc.gz")):
+        from ..sources.warc import parse_warc
+
+        with open(shard, "rb") as fh:
+            data = fh.read()
+        rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+        for url, ts, body in parse_warc(data):
+            rows["url"].append(url)
+            rows["warc_ts"].append(ts)
+            rows["html"].append(body)
+            rows["lang"].append("")
+            if len(rows["url"]) >= _ROWGROUP_BATCH:
+                yield _pages_chunk(rows)
+                rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+        if rows["url"]:
+            yield _pages_chunk(rows)
+        return
+    pf = pq.ParquetFile(shard)
+    for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,
+                              columns=["url", "warc_ts", "html", "lang"]):
+        yield pa.Table.from_batches([rb])
+
+
+def _pages_chunk(rows: dict) -> pa.Table:
+    return pa.table({
+        "url": pa.array(rows["url"], type=pa.string()),
+        "warc_ts": pa.array(rows["warc_ts"], type=pa.timestamp("us")),
+        "html": pa.array(rows["html"], type=pa.binary()),
+        "lang": pa.array(rows["lang"], type=pa.string()),
+    })
+
+
 def list_shards(input_path: str) -> list[str]:
     if os.path.isdir(input_path):
         return sorted(
             os.path.join(input_path, f) for f in os.listdir(input_path)
-            if f.endswith(".parquet")
+            if f.endswith(_SHARD_EXTS)
         )
     return [input_path]
 

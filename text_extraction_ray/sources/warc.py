@@ -1,0 +1,132 @@
+"""WARC source (Common Crawl's native archive format, ISO 28500).
+
+From-scratch stdlib implementation (SURVEY SS0.3: no warcio in this
+sandbox):
+
+- ``write_warc``      — minimal WARC/1.0 writer for fixtures: response
+                        records with an HTTP envelope, optionally one gzip
+                        member per record (the Common Crawl convention, so
+                        records are individually seekable).
+- ``parse_warc``      — record iterator over raw bytes; keeps
+                        ``WARC-Type: response`` records, strips the HTTP
+                        header envelope, yields (url, warc_ts, body).
+- ``read_warc_pages`` — Ray reader: ``read_binary_files`` over the .warc /
+                        .warc.gz shards → one ``map_batches`` parse into
+                        PAGES-shaped rows (url, warc_ts, html, text, lang).
+
+Scale note: one WARC file = one input block (files are the unit of
+parallelism, like Common Crawl's ~1 GB segment files) — shard counts, not
+in-file splitting, provide parallelism, matching how the checkpointed job
+partitions by shard.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import io
+
+import pyarrow as pa
+
+import ray.data
+
+_CRLF = b"\r\n"
+_WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _warc_record(url: str, ts: _dt.datetime, body: bytes) -> bytes:
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+        b"WARC-Date: " + ts.strftime(_WARC_DATE_FMT).encode() + _CRLF +
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+    )
+    return headers + http + _CRLF + _CRLF
+
+
+def write_warc(path: str, records: list[tuple[str, _dt.datetime, bytes]],
+               gzip_members: bool = False) -> str:
+    """Write (url, ts, html_bytes) records; ``gzip_members`` emits one gzip
+    member per record (CC convention)."""
+    with open(path, "wb") as fh:
+        for url, ts, body in records:
+            rec = _warc_record(url, ts, body)
+            if gzip_members:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                rec = buf.getvalue()
+            fh.write(rec)
+    return path
+
+
+def _split_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def parse_warc(data: bytes):
+    """Yield (url, warc_ts_us, body_bytes) for every response record."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # handles concatenated members
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            break
+        headers = _split_headers(data[start:head_end])
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            length = 0
+        content = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        try:
+            ts = _dt.datetime.strptime(ts_raw, _WARC_DATE_FMT)
+        except ValueError:
+            ts = _dt.datetime(1970, 1, 1)
+        body = content
+        if content[:5] in (b"HTTP/",):  # strip the HTTP envelope
+            split = content.find(_CRLF + _CRLF)
+            if split >= 0:
+                body = content[split + 4 :]
+        yield url, ts, body
+
+
+def warc_batch_to_pages(batch: pa.Table) -> pa.Table:
+    """map_batches parse: binary file rows → PAGES-shaped rows."""
+    urls, tss, bodies = [], [], []
+    for data in batch.column("bytes").to_pylist():
+        for url, ts, body in parse_warc(data or b""):
+            urls.append(url)
+            tss.append(ts)
+            bodies.append(body)
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+        "html": pa.array(bodies, type=pa.binary()),
+        "text": pa.array([""] * len(urls), type=pa.string()),
+        "lang": pa.array([""] * len(urls), type=pa.string()),
+    })
+
+
+def read_warc_pages(paths: str | list[str]) -> ray.data.Dataset:
+    """PAGES Dataset from .warc / .warc.gz shards (S1-compatible input)."""
+    raw = ray.data.read_binary_files(paths, file_extensions=None)
+    return raw.map_batches(warc_batch_to_pages, batch_format="pyarrow")
