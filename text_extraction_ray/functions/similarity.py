@@ -157,6 +157,59 @@ def ann_ivf_topk(ds: ray.data.Dataset, query_vec: np.ndarray, k: int = 10,
     return ann_bruteforce_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+_NEARDUP_BUCKET_CAP = 256
+
+
+def lsh_neardup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      vec_col: str = "embedding",
+                      threshold: float = 0.9) -> ray.data.Dataset:
+    """Self-contained near-dup pairs at corpus scale: LSH-bucket every
+    vector (one map pass), groupby bucket, exact pairwise cosine INSIDE
+    each bucket only.  Unlike ``embedding_neardup_pairs`` nothing is
+    broadcast — the shuffle carries (id, bucket, vector) rows and each
+    reducer sees one bucket.  Identical vectors always share a bucket, so
+    exact duplicates have recall 1; near-dups need hamming-0 collision
+    (raise recall by unioning rotated plane sets if needed).  Buckets are
+    capped at {cap} ids (logged drop) against degenerate clusters.
+    """.format(cap=_NEARDUP_BUCKET_CAP)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _matrix_from_batch(batch, vec_col).astype(np.float64)
+        planes = np.random.RandomState(_LSH_SEED).randn(
+            _HYPERPLANES, mat.shape[1] if mat.size else 1)
+        codes = _lsh_code(_normalize(mat), planes).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "lsh_bucket": pa.array(codes, type=pa.int64()),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        order = sorted(range(len(ids)), key=lambda k: ids[k])
+        if len(order) > _NEARDUP_BUCKET_CAP:
+            import sys
+
+            print(f"[lsh_neardup] bucket capped: {len(order)} -> "
+                  f"{_NEARDUP_BUCKET_CAP}", file=sys.stderr)
+            order = order[:_NEARDUP_BUCKET_CAP]
+        mat = _normalize(_matrix_from_batch(group, vec_col))
+        sub = mat[order]
+        sims = sub @ sub.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        sids = [ids[order[i]] for i in range(len(order))]
+        id_type = group.schema.field(id_col).type  # stable even when empty
+        return pa.table({
+            "id_a": pa.array([sids[i] for i in ai], type=id_type),
+            "id_b": pa.array([sids[j] for j in bj], type=id_type),
+            "cos": pa.array(np.round(sims[ai, bj], 4), type=pa.float64()),
+        })
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("lsh_bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(ds: ray.data.Dataset, corpus_ids: np.ndarray,
                             corpus_mat: np.ndarray, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding"

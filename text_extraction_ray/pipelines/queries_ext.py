@@ -418,6 +418,45 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
 
 
+# --- end-to-end: extract → embed → near-dup over OUR corpus ----------------
+
+def q_extract_embed_neardup(sf_dir: str) -> ray.data.Dataset:
+    """The full training-data loop on the engine's own output: extract a
+    synthetic crawl, hash-embed the extracted text, LSH-bucket, and emit
+    near-duplicate page pairs (re-crawls of a page surface at cos≈1).
+    Rows-only: embeddings are not SQL-expressible."""
+    import os
+    import tempfile
+
+    from ..functions.embed import embed_batch
+    from ..functions.similarity import lsh_neardup_pairs
+    from ..pipelines.extraction import EXTRACT_COLUMNS, extract_pages, read_pages
+    from ..sources.synth import gen_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+    out = extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
+                        mode="single_pass", concurrency=(1, 8), batch_size=32)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b.column("url"),
+            pc.cast(pc.cast(b.column("warc_ts"), pa.int64()), pa.string()),
+            "@")
+        return pa.table({"page_key": key,
+                         "text": b.column("extracted_text")})
+
+    embedded = (
+        out.filter(expr="doc_type == 'html'")
+        .map_batches(keyed, **_PYA)
+        .map_batches(embed_batch, **_PYA)
+        .select_columns(["page_key", "embedding"])
+    )
+    return lsh_neardup_pairs(embedded, id_col="page_key",
+                             vec_col="embedding", threshold=0.95)
+
+
 # --- exact SQL oracles for previously rows-only operators ------------------
 
 # Mirrors functions/dedup.py:_jaccard_pairs_in_group exactly: shingles are
@@ -506,6 +545,7 @@ def queries_ext() -> dict:
         "ann_ivf": q_ann_ivf,
         "events_salted_sum": q_events_salted_sum,
         "part_first_word": q_part_first_word,
+        "extract_embed_neardup": q_extract_embed_neardup,
     }
 
 
