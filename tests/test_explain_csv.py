@@ -107,3 +107,29 @@ def test_csv_job_resumes(corpus_dir, tmp_path, ray_session):
                                output_format="csv")
     assert again["partitions_run"] == 0
     assert again["partitions_skipped"] == 4
+
+
+def test_dedup_and_report_postpass(corpus_dir, tmp_path, ray_session):
+    import glob
+
+    from text_extraction_ray.pipelines.job import (
+        dedup_output,
+        report_output,
+        run_extraction_job,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(corpus_dir, out, concurrency=2)
+    ddir = dedup_output(out)
+    raw_urls = []
+    for p in glob.glob(os.path.join(out, "part=*", "data.parquet")):
+        raw_urls += pq.read_table(p, columns=["url"]).column("url").to_pylist()
+    ded = pa.concat_tables(
+        [pq.read_table(p) for p in glob.glob(os.path.join(ddir, "*.parquet"))])
+    assert ded.num_rows == len(set(raw_urls))
+    assert len(set(ded.column("url").to_pylist())) == ded.num_rows
+
+    rep = report_output(out)
+    assert {r["doc_type"] for r in rep["doc_types"]} >= {"html"}
+    assert sum(r["n_docs"] for r in rep["doc_types"]) == len(raw_urls)
+    assert rep["length_histogram"]

@@ -152,6 +152,44 @@ def list_shards(input_path: str) -> list[str]:
     return [input_path]
 
 
+def read_output(output_dir: str) -> ray.data.Dataset:
+    """OUT Dataset over the job's partitioned parquet output."""
+    parts = sorted(
+        os.path.join(output_dir, d, "data.parquet")
+        for d in os.listdir(output_dir)
+        if d.startswith("part=")
+        and os.path.exists(os.path.join(output_dir, d, "data.parquet"))
+    )
+    return ray.data.read_parquet(parts)
+
+
+def dedup_output(output_dir: str, dedup_dir: str | None = None) -> str:
+    """Opt-in post-pass (G3): keep-latest-per-url over the job output —
+    the only shuffle in the pages path, which is why it is a separate
+    pass and not part of the partition-local flagship job."""
+    from .analysis import dedup_keep_latest
+
+    dedup_dir = dedup_dir or os.path.join(output_dir, "dedup")
+    deduped = dedup_keep_latest(read_output(output_dir))
+    deduped.write_parquet(dedup_dir)
+    return dedup_dir
+
+
+def report_output(output_dir: str) -> dict:
+    """QA report over the job output: doc types, per-lang stats, length
+    histogram (G2/G6) — all pre-reduced map-side, tiny groupbys."""
+    from .analysis import doc_type_counts, length_histogram, per_lang_stats
+
+    out = read_output(output_dir)
+    return {
+        "doc_types": doc_type_counts(out).to_pandas()
+        .to_dict("records"),
+        "per_lang": per_lang_stats(out).to_pandas().to_dict("records"),
+        "length_histogram": length_histogram(out).to_pandas()
+        .sort_values("bucket").to_dict("records"),
+    }
+
+
 def run_extraction_job(
     input_path: str,
     output_dir: str,

@@ -34,10 +34,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--format", choices=("parquet", "csv"), default="parquet",
                     help="partition output format (csv echoes the "
                          "reference's CSV output; spans JSON-encoded)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="post-pass: keep-latest-per-url dedup of the "
+                         "output into <output>/dedup/ (parquet only)")
+    ap.add_argument("--report", action="store_true",
+                    help="print a QA report (doc types, per-lang stats, "
+                         "length histogram) after the job")
     ap.add_argument("--synth-rows", type=int, default=None,
                     help="generate a synthetic corpus of N rows at --input "
                          "first (demo/testing)")
     args = ap.parse_args(argv)
+    if (args.dedup or args.report) and args.format != "parquet":
+        ap.error("--dedup/--report require --format parquet")
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
@@ -58,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extraction_job(args.input, args.output, args.ckpt,
                                  concurrency=args.concurrency,
                                  output_format=args.format)
+    if args.dedup:
+        from .pipelines.job import dedup_output
+
+        summary["dedup_dir"] = dedup_output(args.output)
+    if args.report:
+        from .pipelines.job import report_output
+
+        summary["report"] = report_output(args.output)
     json.dump(summary, sys.stdout, indent=2, sort_keys=True)
     print()
     return 0
