@@ -59,11 +59,14 @@ def score_batch_factory(query_vec: np.ndarray, vec_col: str = "embedding",
 def ann_bruteforce_topk(ds: ray.data.Dataset, query_vec: np.ndarray,
                         k: int = 10, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> ray.data.Dataset:
-    """Exact cosine top-k: vectorized scoring per batch → sort → limit."""
+    """Exact cosine top-k: vectorized scoring per batch → distributed
+    top-k (per-block prune, then a tiny sort over <=k x blocks rows)."""
+    from .topk import topk
+
     scored = ds.map_batches(
         score_batch_factory(query_vec, vec_col), batch_format="pyarrow"
     ).select_columns([id_col, "cos"])
-    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+    return topk(scored, ["cos", id_col], k, descending=[True, False])
 
 
 def _lsh_code(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -69,14 +69,15 @@ def length_histogram(out_ds: ray.data.Dataset,
 
 
 def topk_largest(out_ds: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
-    """K1: largest extracted documents."""
-    return (
+    """K1: largest extracted documents (distributed top-k: per-block
+    prune, then a tiny sort — never a full-corpus sort for k rows)."""
+    from ..functions.topk import topk
+
+    return topk(
         out_ds.map_batches(
             lambda b: add_text_len(b).select(["url", "n_chars"]),
-            batch_format="pyarrow")
-        .sort(["n_chars", "url"], descending=[True, False])
-        .limit(k)
-    )
+            batch_format="pyarrow"),
+        ["n_chars", "url"], k, descending=[True, False])
 
 
 def dedup_keep_latest(pages_ds: ray.data.Dataset) -> ray.data.Dataset:

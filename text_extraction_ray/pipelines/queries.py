@@ -175,11 +175,11 @@ FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25
 
 
 def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
-    return (
-        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
-    )
+    from ..functions.topk import topk
+
+    return topk(read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+                ["o_totalprice", "o_orderkey"], 10,
+                descending=[True, False])
 
 
 SQL_TOPK_ORDERS = """
@@ -278,11 +278,10 @@ FROM documents GROUP BY lang
 
 
 def q_topk_docs(sf_dir: str) -> ray.data.Dataset:
-    return (
-        read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(10)
-    )
+    from ..functions.topk import topk
+
+    return topk(read_table(sf_dir, "documents", ["doc_id", "n_chars"]),
+                ["n_chars", "doc_id"], 10, descending=[True, False])
 
 
 SQL_TOPK_DOCS = """
