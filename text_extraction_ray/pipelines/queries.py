@@ -291,8 +291,15 @@ ORDER BY n_chars DESC, doc_id LIMIT 10
 
 
 def q_distinct_users(sf_dir: str) -> pa.Table:
+    """Distinct count: per-batch unique (map-side prune — repeated keys
+    never shuffle) → groupby over the surviving keys."""
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(b.column("user_id"))})
+
     n = (
         read_table(sf_dir, "events", ["user_id"])
+        .map_batches(uniq, **_PYA)
         .groupby("user_id").count().count()
     )
     return pa.table({"n_users": pa.array([n], type=pa.int64())})

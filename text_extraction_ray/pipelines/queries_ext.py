@@ -260,7 +260,10 @@ def q_union_distinct(sf_dir: str) -> pa.Table:
 
     u = orders.map_batches(urgent, **_PYA).union(
         orders.map_batches(big, **_PYA))
-    n = u.groupby("o_orderkey").count().count()
+    uniq = u.map_batches(
+        lambda b: pa.table({"o_orderkey": pc.unique(b.column("o_orderkey"))}),
+        **_PYA)  # map-side prune before the distinct shuffle
+    n = uniq.groupby("o_orderkey").count().count()
     return pa.table({"n_orders": pa.array([n], type=pa.int64())})
 
 
