@@ -421,6 +421,73 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
 
 
+# --- oracled document fingerprint (md5 winnowing variant) ------------------
+
+_FP_NGRAM = 5
+
+
+def q_fingerprint_md5(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing-style fingerprint with an ORACLED hash: the lexicographic
+    min of md5(5-gram shingle) per doc — hashlib.md5 here == DuckDB md5()
+    byte-for-byte, so unlike the FNV fingerprint this one is exactly
+    SQL-checkable.  Same degenerate rule as the jaccard shingles: docs
+    shorter than the n-gram contribute their single truncated shingle."""
+    import hashlib
+
+    def fp(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            words = (t or "").lower().split()
+            n = max(len(words) - _FP_NGRAM + 1, 1)
+            out.append(min(
+                hashlib.md5(" ".join(words[i:i + _FP_NGRAM])
+                            .encode("utf-8")).hexdigest()
+                for i in range(n)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fingerprint": pa.array(out, type=pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, **_PYA)
+
+
+SQL_FINGERPRINT_MD5 = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
+         len(regexp_extract_all(text, '\S+')) AS nw
+  FROM documents),
+e AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(nw - 4, 1))) AS i
+  FROM w)
+SELECT doc_id,
+       MIN(md5(array_to_string(ws[i:i+4], ' '))) AS fingerprint
+FROM e GROUP BY doc_id
+"""
+
+
+# --- BPE-ish subtoken totals (both engines run RE2 → identical counts) -----
+
+def q_subtoken_totals(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.textstats import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(
+            lambda b: token_count_batch(b).select(["lang", "n_subtokens"]),
+            **_PYA)
+        .groupby("lang")
+        .aggregate(Sum("n_subtokens", alias_name="n_subtokens"))
+    )
+
+
+SQL_SUBTOKEN_TOTALS = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(
+            text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS n_subtokens
+FROM documents GROUP BY lang
+"""
+
+
 # --- end-to-end: extract → embed → near-dup over OUR corpus ----------------
 
 def q_extract_embed_neardup(sf_dir: str) -> ray.data.Dataset:
@@ -549,6 +616,8 @@ def queries_ext() -> dict:
         "events_salted_sum": q_events_salted_sum,
         "part_first_word": q_part_first_word,
         "extract_embed_neardup": q_extract_embed_neardup,
+        "fingerprint_md5": q_fingerprint_md5,
+        "subtoken_totals": q_subtoken_totals,
     }
 
 
@@ -564,6 +633,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "events_salted_sum": SQL_EVENTS_SALTED_SUM,
         "part_first_word": SQL_PART_FIRST_WORD,
+        "fingerprint_md5": SQL_FINGERPRINT_MD5,
+        "subtoken_totals": SQL_SUBTOKEN_TOTALS,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
