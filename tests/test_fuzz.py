@@ -1,0 +1,52 @@
+"""Seeded fuzz: extract_document is TOTAL — arbitrary bytes never raise,
+always yield a schema-complete result (SURVEY M11)."""
+
+from __future__ import annotations
+
+import random
+
+from text_extraction_ray.core.extract import extract_document
+
+KEYS = {"doc_type", "lang", "charset", "extracted_text", "spans",
+        "n_blocks_kept", "n_blocks_dropped", "parse_ok", "error"}
+
+
+def _payloads(seed: int, n: int):
+    rng = random.Random(seed)
+    tricky_prefixes = [b"", b"%PDF-", b"<html", b"<!DOCT", b"\xef\xbb\xbf",
+                       b"\xff\xfe", b"<script>", b"WARC/1.0"]
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:  # pure random bytes
+            yield rng.randbytes(rng.randrange(0, 2048))
+        elif kind == 1:  # random bytes with a meaningful prefix
+            yield (rng.choice(tricky_prefixes)
+                   + rng.randbytes(rng.randrange(0, 512)))
+        elif kind == 2:  # mangled html: valid-ish tags, truncated anywhere
+            html = (b"<html><head><meta charset=utf-8><script>var x='<p>';"
+                    b"</script></head><body>" +
+                    b"".join(b"<p>word %d &amp; &#x41; <a href=x>l</a></p>"
+                             % j for j in range(20)) + b"</body></html>")
+            yield html[: rng.randrange(1, len(html))]
+        else:  # mangled pdf
+            pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+                   b"stream\nBT (hi) Tj ET\nendstream\ntrailer\n%%EOF")
+            yield pdf[: rng.randrange(1, len(pdf))]
+
+
+def test_fuzz_total_function():
+    for payload in _payloads(1234, 400):
+        r = extract_document(payload, "en")
+        assert KEYS <= set(r)
+        assert isinstance(r["extracted_text"], str)
+        assert r["doc_type"] in ("html", "pdf", "empty", "unknown")
+        # spans must be consistent with the text
+        for s, e in r["spans"]:
+            assert 0 <= s <= e <= len(r["extracted_text"])
+
+
+def test_fuzz_determinism():
+    pays = list(_payloads(99, 120))
+    a = [extract_document(p, "").get("extracted_text") for p in pays]
+    b = [extract_document(p, "").get("extracted_text") for p in pays]
+    assert a == b
