@@ -432,16 +432,19 @@ WHERE n_tokens >= 5 AND alpha_ratio > 0.5 AND digit_ratio < 0.3
 """
 
 
-def _query_vec(sf_dir: str) -> tuple[np.ndarray, pa.Table]:
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t.column("vec_id").to_pylist()
-    qi = ids.index(0) if 0 in ids else 0
-    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
-    return vec, t
+def _query_vec(sf_dir: str) -> np.ndarray:
+    """The ANN query vector (vec_id == 0): parquet predicate pushdown —
+    only the matching row group leaves storage, not the corpus."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", 0)])
+    if t.num_rows == 0:  # fall back to the first row
+        t = pq.ParquetFile(path).read_row_group(0).slice(0, 1)
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def q_ann_top10(sf_dir: str) -> ray.data.Dataset:
-    vec, _ = _query_vec(sf_dir)
+    vec = _query_vec(sf_dir)
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_bruteforce_topk(ds, vec, k=10)
 
@@ -460,7 +463,12 @@ LIMIT 10
 
 
 def q_embed_neardup(sf_dir: str) -> ray.data.Dataset:
-    _, t = _query_vec(sf_dir)
+    """Broadcast-matrix variant: the whole (small) corpus is the lookup
+    side BY DESIGN — ray.put once, block product per batch.  The
+    corpus-scale variant without any broadcast is lsh_neardup_pairs
+    (q_extract_embed_neardup)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -506,7 +514,7 @@ def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
-    vec, _ = _query_vec(sf_dir)
+    vec = _query_vec(sf_dir)
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_lsh_topk(ds, vec, k=10)
 

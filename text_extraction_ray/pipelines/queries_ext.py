@@ -410,12 +410,9 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     import os
 
     from ..functions.similarity import ann_ivf_topk
+    from .queries import _query_vec
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()
-    qi = ids.index(0) if 0 in ids else 0
-    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
+    vec = _query_vec(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
