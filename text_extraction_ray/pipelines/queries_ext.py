@@ -152,6 +152,69 @@ GROUP BY c_mktsegment
 """
 
 
+# --- semi-join -------------------------------------------------------------
+
+def q_cust_with_urgent(sf_dir: str) -> ray.data.Dataset:
+    """Customers WITH at least one urgent order, per segment — native
+    ``left_semi`` join (completes the join coverage: broadcast, shuffle
+    inner, anti, semi)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+    )
+    hit = cust.join(urgent, join_type="left_semi", num_partitions=8,
+                    on=("c_custkey",), right_on=("o_custkey",))
+    return (
+        hit.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_CUST_WITH_URGENT = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# --- cumulative window over a pre-aggregated tiny table --------------------
+
+def q_events_cumulative(sf_dir: str) -> pa.Table:
+    """Running total of events per day: the heavy reduction (count per
+    day) happens distributed; the cumulative scan — inherently sequential
+    — runs over the resulting ~tens of rows on the driver.  That is the
+    correct split at any scale: never a windowed shuffle over raw rows."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(b.column("ts"),
+                                                  unit="day")})
+
+    daily = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(prep, **_PYA)
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+    ).to_pandas().sort_values("day")
+    daily["cum_events"] = daily["n_events"].cumsum().astype("int64")
+    return pa.Table.from_pandas(daily, preserve_index=False)
+
+
+SQL_EVENTS_CUMULATIVE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT day, n_events,
+       CAST(SUM(n_events) OVER (ORDER BY day) AS BIGINT) AS cum_events
+FROM d
+"""
+
+
 # --- aggregate spread per key ----------------------------------------------
 
 def q_value_stats(sf_dir: str) -> ray.data.Dataset:
@@ -615,6 +678,8 @@ def queries_ext() -> dict:
         "extract_embed_neardup": q_extract_embed_neardup,
         "fingerprint_md5": q_fingerprint_md5,
         "subtoken_totals": q_subtoken_totals,
+        "cust_with_urgent": q_cust_with_urgent,
+        "events_cumulative": q_events_cumulative,
     }
 
 
@@ -632,6 +697,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "part_first_word": SQL_PART_FIRST_WORD,
         "fingerprint_md5": SQL_FINGERPRINT_MD5,
         "subtoken_totals": SQL_SUBTOKEN_TOTALS,
+        "cust_with_urgent": SQL_CUST_WITH_URGENT,
+        "events_cumulative": SQL_EVENTS_CUMULATIVE,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
