@@ -69,8 +69,10 @@ def run_extraction(corpus_dir: str, concurrency: int | None = None) -> dict:
                                      concurrency=concurrency)
         wall = time.monotonic() - t0
         docs = summary["cumulative"]["docs_out"]
+        mb_in = summary["cumulative"].get("bytes_in", 0) / 1e6
         return {"wall_s": wall, "docs": docs,
-                "docs_per_sec": docs / wall if wall else 0.0}
+                "docs_per_sec": docs / wall if wall else 0.0,
+                "mb_in_per_sec": round(mb_in / wall, 2) if wall else 0.0}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -151,6 +153,7 @@ def cmd_bench(args: argparse.Namespace) -> None:
         "num_cpus": num_cpus,
         "n_docs": n,
         "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "mb_in_per_sec": headline["mb_in_per_sec"],
     }))
 
 
