@@ -75,3 +75,20 @@ def test_garbage_pdf_degrades():
     out = extract_pdf(b"%PDF-1.4 this is not really a pdf")
     assert out["extracted_text"] == ""
     assert not out["parse_ok"]
+
+
+def test_two_stacked_tables_same_width():
+    """Two tables sharing an x-extent must resolve into TWO grids (the
+    v-line y-extent split), not fall back to column-wise text."""
+    pb = PageBuilder()
+    pb.table([["a", "b"], ["1", "2"]])
+    pb.table([["x", "y"], ["8", "9"]])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "a\tb\n1\t2\n\nx\ty\n8\t9"
+
+
+def test_ragged_rows_and_empty_cells():
+    pb = PageBuilder()
+    pb.table([["a", "", "c"], ["1", "2"]])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "a\t\tc\n1\t2\t"

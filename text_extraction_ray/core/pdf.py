@@ -299,17 +299,32 @@ def _detect_tables(rects, runs):
                 used_h[j] = True
         if len(group) < 2:
             continue
-        ys = _cluster([h_lines[g][0] for g in group], 1.0)
-        gy0, gy1 = min(ys), max(ys)
-        xs = _cluster(
-            [x for (x, vy0, vy1) in v_lines
-             if vy0 <= gy0 + 2 and vy1 >= gy1 - 2
-             and hx0 - 2 <= x <= hx1 + 2],
-            1.0,
-        )
-        if len(xs) < 2:
-            continue
-        grids.append((sorted(ys, reverse=True), sorted(xs), (min(xs), gy0, max(xs), gy1)))
+        # Two stacked tables share an x-extent, so one h-line group can
+        # hold SEVERAL grids: split it by the y-extents of the vertical
+        # rulings (each table's v-lines span exactly its own y range).
+        vin = [(x, vy0, vy1) for (x, vy0, vy1) in v_lines
+               if hx0 - 2 <= x <= hx1 + 2]
+        extents: list[tuple[float, float]] = []
+        for _x, vy0, vy1 in vin:
+            for ei, (ey0, ey1) in enumerate(extents):
+                if abs(vy0 - ey0) < 2.0 and abs(vy1 - ey1) < 2.0:
+                    break
+            else:
+                extents.append((vy0, vy1))
+        for ey0, ey1 in extents:
+            ys = _cluster(
+                [h_lines[g][0] for g in group
+                 if ey0 - 2 <= h_lines[g][0] <= ey1 + 2], 1.0)
+            if len(ys) < 2:
+                continue
+            xs = _cluster(
+                [x for (x, vy0, vy1) in vin
+                 if abs(vy0 - ey0) < 2.0 and abs(vy1 - ey1) < 2.0], 1.0)
+            if len(xs) < 2:
+                continue
+            gy0, gy1 = min(ys), max(ys)
+            grids.append((sorted(ys, reverse=True), sorted(xs),
+                          (min(xs), gy0, max(xs), gy1)))
 
     if not grids:
         return [], runs
