@@ -62,8 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results).  Non-SQL ops (minhash/simhash/jaccard/
-    lang-id/fingerprint/ann-lsh/multimodal/extract) are rows-only."""
+    names as the Ray results) — 34 of 45 queries.  Rows-only (approximate
+    or inherently non-SQL): minhash/simhash (seeded permutation hashes),
+    FNV fingerprint, ann_lsh/ann_ivf (approximate by construction),
+    seeded sample, multimodal decode/resize/frame-sample, and the
+    extraction pipelines over the synthetic pages corpus."""
     from text_extraction_ray.pipelines.queries import oracle_sql as _o
 
     return _o()
