@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure extraction core.
+
+The fused fast path must be classification-equivalent to the reference
+path for ARBITRARY inputs, not just the corpus — this is the invariant
+the byte-identity contract stands on (SURVEY SS2.2 M6-M8)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_extraction_ray.core import html_extract as hx
+from text_extraction_ray.core.extract import extract_document
+from text_extraction_ray.core.stopwords import STOPWORDS, stoplist_for
+
+# html-ish soup: text, tags (balanced-ish and junk), entities, links
+_tag = st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>", "<li>", "</li>",
+     "<a href=x>", "</a>", "<br>", "<script>", "</script>", "<td>",
+     "<!-- c -->", "<pre>", "</pre>", "<", ">", "</", "<x", "&amp;",
+     "&#65;", "&unknown;", "&copy", "\xa9"])
+_word = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="<>&"),
+    min_size=1, max_size=12)
+_chunk = st.one_of(_tag, _word, st.just(" "), st.just("\n"))
+_soup = st.lists(_chunk, max_size=120).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup)
+def test_fused_segmenter_equivalent(doc):
+    a = hx.segment_blocks(doc)
+    b = hx.segment_blocks_reference(doc)
+    assert [(x.block_id, x.tag_path, x.text, x.n_link_chars) for x in a] \
+        == [(y.block_id, y.tag_path, y.text, y.n_link_chars) for y in b]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup, st.sampled_from(sorted(STOPWORDS)))
+def test_fused_classify_equivalent(doc, lang):
+    sl = stoplist_for(lang)
+    a = hx.segment_blocks(doc)
+    hx.featurize_classify(a, sl)
+    b = hx.segment_blocks(doc)
+    hx.featurize(b, sl)
+    hx.classify_context_free(b)
+    assert [(x.cf_class, x.heading) for x in a] \
+        == [(y.cf_class, y.heading) for y in b]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup)
+def test_extract_html_spans_consistent(doc):
+    r = hx.extract_html(doc)
+    text = r["extracted_text"]
+    prev_end = None
+    for s, e in r["spans"]:
+        assert 0 <= s <= e <= len(text)
+        if prev_end is not None:
+            assert s == prev_end + 2  # JOINER "\n\n" between blocks
+        prev_end = e
+    assert r["n_blocks_kept"] == len(r["spans"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_document_total_on_bytes(payload):
+    r = extract_document(payload, "en")
+    assert isinstance(r["extracted_text"], str)
+    assert r["doc_type"] in ("html", "pdf", "empty", "unknown")
