@@ -71,3 +71,15 @@ def test_featurize_classify_equivalence():
         featurize_classify(b, sl)
         assert [(x.cf_class, x.heading) for x in a] == [
             (x.cf_class, x.heading) for x in b]
+
+
+def test_bare_lt_inside_link_counts_link_chars():
+    """Deep-fuzz regression: a literal '<' emitted as text inside <a>
+    must count toward n_link_chars on BOTH paths."""
+    from text_extraction_ray.core import html_extract as hx
+
+    for doc in ("<a href=x><", "<a href=x>< trailing", "<p><a href=x>x<</a>"):
+        a = hx.segment_blocks(doc)
+        b = hx.segment_blocks_reference(doc)
+        assert [(x.text, x.n_link_chars) for x in a] \
+            == [(y.text, y.n_link_chars) for y in b], doc

@@ -221,6 +221,8 @@ def segment_blocks(doc: str) -> list[Block]:
                 if not parts:
                     path_at_open = "/".join(stack)
                 parts.append("<")
+                if a_depth:
+                    link_chars += 1
             break
         c = doc[lt + 1]
         if c.isalpha():
@@ -358,6 +360,8 @@ def segment_blocks(doc: str) -> list[Block]:
             if not parts:
                 path_at_open = "/".join(stack)
             parts.append("<")
+            if a_depth:
+                link_chars += 1
         i = lt + 1
 
     flush()
