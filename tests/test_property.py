@@ -13,12 +13,20 @@ from text_extraction_ray.core import html_extract as hx
 from text_extraction_ray.core.extract import extract_document
 from text_extraction_ray.core.stopwords import STOPWORDS, stoplist_for
 
-# html-ish soup: text, tags (balanced-ish and junk), entities, links
-_tag = st.sampled_from(
-    ["<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>", "<li>", "</li>",
-     "<a href=x>", "</a>", "<br>", "<script>", "</script>", "<td>",
-     "<!-- c -->", "<pre>", "</pre>", "<", ">", "</", "<x", "&amp;",
-     "&#65;", "&unknown;", "&copy", "\xa9"])
+# html-ish soup: text, tags (balanced-ish and junk), entities, links,
+# rawtext traps, malformed comments/CDATA — the full grammar both
+# segmenter implementations must agree on
+_tag = st.sampled_from([
+    "<p>", "</p>", "<p >", "<P>", "<div class='x y'>", '<div id="z">',
+    "<a href='u'>", '<a href="v">', "<a href=w q>", "<a>", "</a>", "</A>",
+    "<script>", "</script>", "<script >var a='</scr'+'ipt>'</script>",
+    "<style>p{}</style>", "<textarea></textarea>", "<pre>", "</pre>",
+    "<br>", "<br/>", "<br />", "<img src=x>", "<input value='<p>'>",
+    "<td>", "</td>", "<li>", "<ul>", "</ul>", "<h1>", "</h1>", "<h6>",
+    "<!-- <p>no</p> -->", "<!--", "-->", "<![CDATA[raw < text]]>",
+    "<!doctype html>", "<?php ?>", "</", "< ", "<1", "<>", ">", "<", "<x",
+    "&amp;", "&lt;", "&#60;", "&#x3C;", "&#X3c;", "&notareal;", "&amp",
+    "&copy;", "&copy", "&AMP;", "&;", "&", ";", "\xa9"])
 _word = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",),
                            blacklist_characters="<>&"),
