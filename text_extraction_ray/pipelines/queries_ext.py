@@ -481,6 +481,35 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
 
 
+# --- stratified sample: N docs per group, deterministic --------------------
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """5 docs per language, chosen by md5(doc_id) order — a deterministic
+    'random' stratified sample (training-data balancing op) that is
+    exactly reproducible in SQL, unlike seed-based samplers."""
+    import hashlib
+
+    def pick(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_pylist()
+        order = sorted(range(len(ids)),
+                       key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                      .hexdigest(), ids[i]))[:5]
+        return g.take(order)
+
+    return (
+        _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(pick, **_PYA)
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+"""
+
+
 # --- oracled document fingerprint (md5 winnowing variant) ------------------
 
 _FP_NGRAM = 5
@@ -680,6 +709,7 @@ def queries_ext() -> dict:
         "subtoken_totals": q_subtoken_totals,
         "cust_with_urgent": q_cust_with_urgent,
         "events_cumulative": q_events_cumulative,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -699,6 +729,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "subtoken_totals": SQL_SUBTOKEN_TOTALS,
         "cust_with_urgent": SQL_CUST_WITH_URGENT,
         "events_cumulative": SQL_EVENTS_CUMULATIVE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
