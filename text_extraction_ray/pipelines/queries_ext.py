@@ -481,6 +481,41 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
 
 
+# --- pivot: long → wide reshape --------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Day × event-type count matrix (long → wide pivot): indicator
+    columns added map-side, ONE groupby(day) sums them — the pivot never
+    shuffles more than (days × types) numbers."""
+
+    def indicators(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        et = b.column("event_type")
+        cols = {"day": day}
+        for t in _EVENT_TYPES:
+            cols[t] = pc.cast(pc.equal(et, t), pa.int64())
+        return pa.table(cols)
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(indicators, **_PYA)
+        .groupby("day")
+        .aggregate(*[Sum(t, alias_name=t) for t in _EVENT_TYPES])
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {cols}
+FROM events GROUP BY 1
+""".format(cols=",\n       ".join(
+    "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS {t}".format(t=t) for t in _EVENT_TYPES))
+
+
 # --- stratified sample: N docs per group, deterministic --------------------
 
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
@@ -710,6 +745,7 @@ def queries_ext() -> dict:
         "cust_with_urgent": q_cust_with_urgent,
         "events_cumulative": q_events_cumulative,
         "stratified_sample": q_stratified_sample,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -730,6 +766,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "cust_with_urgent": SQL_CUST_WITH_URGENT,
         "events_cumulative": SQL_EVENTS_CUMULATIVE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "events_pivot": SQL_EVENTS_PIVOT,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
