@@ -58,7 +58,8 @@ def gen_bench_corpus(sf_dir: str, n_rows: int | None = None) -> tuple[str, int]:
     return corpus, n
 
 
-def run_extraction(corpus_dir: str, concurrency: int | None = None) -> dict:
+def run_extraction(corpus_dir: str, concurrency: int | None = None,
+                   keep_output: bool = False) -> dict:
     """Timed section: resumable flagship job, fresh output dir."""
     from text_extraction_ray.pipelines.job import run_extraction_job
 
@@ -70,11 +71,48 @@ def run_extraction(corpus_dir: str, concurrency: int | None = None) -> dict:
         wall = time.monotonic() - t0
         docs = summary["cumulative"]["docs_out"]
         mb_in = summary["cumulative"].get("bytes_in", 0) / 1e6
-        return {"wall_s": wall, "docs": docs,
-                "docs_per_sec": docs / wall if wall else 0.0,
-                "mb_in_per_sec": round(mb_in / wall, 2) if wall else 0.0}
+        res = {"wall_s": wall, "docs": docs,
+               "docs_per_sec": docs / wall if wall else 0.0,
+               "mb_in_per_sec": round(mb_in / wall, 2) if wall else 0.0}
+        if keep_output:
+            res["out_dir"] = out_dir
+        return res
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not keep_output:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_embed_neardup(out_dir: str) -> dict:
+    """Second headline: the training-data loop over the extraction output
+    (read OUT parquet → hash-embed → LSH bucket → in-bucket near-dup
+    pairs) — no broadcast, the corpus-scale path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_extraction_ray.functions.embed import embed_batch
+    from text_extraction_ray.functions.similarity import lsh_neardup_pairs
+    from text_extraction_ray.pipelines.job import read_output
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b.column("url"),
+            pc.cast(pc.cast(b.column("warc_ts"), pa.int64()), pa.string()),
+            "@")
+        return pa.table({"page_key": key,
+                         "text": b.column("extracted_text")})
+
+    t0 = time.monotonic()
+    embedded = (
+        read_output(out_dir)
+        .filter(expr="doc_type == 'html'")
+        .map_batches(keyed, batch_format="pyarrow")
+        .map_batches(embed_batch, batch_format="pyarrow")
+        .select_columns(["page_key", "embedding"])
+    )
+    n_pairs = lsh_neardup_pairs(embedded, id_col="page_key",
+                                vec_col="embedding",
+                                threshold=0.95).count()
+    return {"wall_s": time.monotonic() - t0, "n_pairs": n_pairs}
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -118,10 +156,18 @@ def cmd_bench(args: argparse.Namespace) -> None:
     corpus, n = gen_bench_corpus(sf_dir)
     _init_ray(num_cpus)
 
-    headline = run_extraction(corpus)
+    headline = run_extraction(corpus, keep_output=True)
+    out_dir = headline.pop("out_dir")
     print(f"[bench] extraction: {headline['docs']} docs in "
           f"{headline['wall_s']:.2f}s = {headline['docs_per_sec']:.0f} docs/s",
           file=sys.stderr)
+    try:
+        loop = run_embed_neardup(out_dir)
+        print(f"[bench] embed+neardup loop: {loop['n_pairs']} pairs in "
+              f"{loop['wall_s']:.2f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
 
     from text_extraction_ray.pipelines.queries import queries
 
@@ -154,6 +200,8 @@ def cmd_bench(args: argparse.Namespace) -> None:
         "n_docs": n,
         "docs_per_sec": round(headline["docs_per_sec"], 1),
         "mb_in_per_sec": headline["mb_in_per_sec"],
+        "embed_neardup_loop": {"wall_s": round(loop["wall_s"], 3),
+                               "n_pairs": loop["n_pairs"]},
     }))
 
 

@@ -354,7 +354,7 @@ def q_join_native(sf_dir: str) -> ray.data.Dataset:
     broadcast join in q_segment_revenue; used when BOTH sides are large."""
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner", num_partitions=4,
                          on=("o_custkey",), right_on=("c_custkey",))
     agg = (
         joined.groupby("c_nationkey")

@@ -89,7 +89,7 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner", num_partitions=4,
                          on=("o_custkey",), right_on=("c_custkey",))
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
@@ -134,7 +134,7 @@ def q_cust_no_bigorder(sf_dir: str) -> ray.data.Dataset:
         .filter(expr=f"o_totalprice > {_BIG_ORDER}")
         .select_columns(["o_custkey"])
     )
-    missing = cust.join(big, join_type="left_anti", num_partitions=8,
+    missing = cust.join(big, join_type="left_anti", num_partitions=4,
                         on=("c_custkey",), right_on=("o_custkey",))
     return (
         missing.groupby("c_mktsegment")
@@ -164,7 +164,7 @@ def q_cust_with_urgent(sf_dir: str) -> ray.data.Dataset:
         .filter(expr="o_orderpriority == '1-URGENT'")
         .select_columns(["o_custkey"])
     )
-    hit = cust.join(urgent, join_type="left_semi", num_partitions=8,
+    hit = cust.join(urgent, join_type="left_semi", num_partitions=4,
                     on=("c_custkey",), right_on=("o_custkey",))
     return (
         hit.groupby("c_mktsegment")
