@@ -19,19 +19,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .textstats import fnv1a64
+import zlib
 
 DIM = 64
 
 
 def embed_text(text: str, dim: int = DIM) -> np.ndarray:
+    """crc32 feature hashing: C-speed, deterministic across processes
+    (unlike builtin ``hash``), index from the low bits, sign from bit 31."""
     words = (text or "").lower().split()
     vec = np.zeros(dim, dtype=np.float64)
-    grams = words + [" ".join(p) for p in zip(words, words[1:])]
-    for g in grams:
-        h = fnv1a64(g.encode("utf-8"))
-        sign = 1.0 if (h >> 63) & 1 else -1.0
-        vec[h % dim] += sign
+    crc = zlib.crc32
+    for g in words:
+        h = crc(g.encode("utf-8"))
+        vec[h % dim] += 1.0 if h & 0x80000000 else -1.0
+    for a, b in zip(words, words[1:]):
+        h = crc((a + " " + b).encode("utf-8"))
+        vec[h % dim] += 1.0 if h & 0x80000000 else -1.0
     n = np.linalg.norm(vec)
     return vec / n if n > 0 else vec
 
