@@ -108,3 +108,21 @@ def test_checkpointed_job_over_warc(warc_corpus, tmp_path, ray_session):
 
     again = run_extraction_job(wdir, out_wc, concurrency=2)
     assert again["partitions_run"] == 0
+
+
+def test_corrupt_gzip_salvages_prefix(tmp_path):
+    """Totality: a damaged .warc.gz yields its readable records instead of
+    raising (found by mutation fuzz)."""
+    p = str(tmp_path / "c.warc.gz")
+    write_warc(p, [("https://a/x", TS, b"<p>one</p>"),
+                   ("https://a/y", TS, b"<p>two</p>")], gzip_members=True)
+    data = bytearray(open(p, "rb").read())
+    # destroy the second gzip member's deflate stream
+    second = data.index(b"\x1f\x8b", 2)
+    for i in range(second + 10, min(second + 30, len(data))):
+        data[i] = 0
+    got = list(parse_warc(bytes(data)))
+    assert [u for u, _, _ in got] == ["https://a/x"]
+    # truncation mid-member never raises
+    for cut in (0, 1, 5, second, second + 3, len(data) - 2):
+        list(parse_warc(bytes(data[:cut])))

@@ -74,9 +74,30 @@ def _split_headers(block: bytes) -> dict[bytes, bytes]:
 
 
 def parse_warc(data: bytes):
-    """Yield (url, warc_ts_us, body_bytes) for every response record."""
+    """Yield (url, warc_ts_us, body_bytes) for every response record.
+
+    TOTAL function (engine contract, SURVEY M11): corrupt or truncated
+    gzip salvages the readable prefix member-by-member instead of
+    raising — a damaged archive yields its intact records, a hopeless
+    one yields nothing."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # handles concatenated members
+        try:
+            data = gzip.decompress(data)  # handles concatenated members
+        except Exception:
+            import zlib
+
+            out = bytearray()
+            pos = 0
+            while pos < len(data):
+                d = zlib.decompressobj(31)
+                try:
+                    out += d.decompress(data[pos:])
+                except zlib.error:
+                    break
+                if not d.eof or not d.unused_data:
+                    break
+                pos = len(data) - len(d.unused_data)
+            data = bytes(out)
     pos = 0
     n = len(data)
     while pos < n:
