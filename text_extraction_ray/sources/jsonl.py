@@ -38,6 +38,15 @@ def write_jsonl(path: str, rows: list[dict]) -> str:
 
 
 def jsonl_batch_to_pages(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    # optional columns default rather than fail (real exports drop them)
+    for name in ("text", "lang"):
+        if name not in batch.schema.names:
+            batch = batch.append_column(
+                name, pa.array([""] * n, type=pa.string()))
+    if "html_b64" not in batch.schema.names:
+        batch = batch.append_column(
+            "html_b64", pa.array([""] * n, type=pa.string()))
     ts_col = batch.column("warc_ts")
     if pa.types.is_timestamp(ts_col.type):
         # read_json already inferred the ISO strings as timestamps
