@@ -77,3 +77,14 @@ def test_extract_document_total_on_bytes(payload):
     r = extract_document(payload, "en")
     assert isinstance(r["extracted_text"], str)
     assert r["doc_type"] in ("html", "pdf", "empty", "unknown")
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup, st.sampled_from(sorted(STOPWORDS)))
+def test_context_sensitive_resolves_all(doc, lang):
+    """After jusText phase 2 every block is good or bad — short/neargood
+    never leak into assembly."""
+    blocks = hx.segment_blocks(doc)
+    hx.featurize_classify(blocks, stoplist_for(lang))
+    hx.classify_context_sensitive(blocks)
+    assert all(b.cls in ("good", "bad") for b in blocks)
