@@ -88,3 +88,43 @@ def test_context_sensitive_resolves_all(doc, lang):
     hx.featurize_classify(blocks, stoplist_for(lang))
     hx.classify_context_sensitive(blocks)
     assert all(b.cls in ("good", "bad") for b in blocks)
+
+
+# --- PDF writer↔parser roundtrip property ----------------------------------
+
+_cell = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                min_size=0, max_size=3)
+_pword = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6)
+_para = st.lists(
+    st.lists(_pword, min_size=1, max_size=5).map(" ".join),
+    min_size=1, max_size=4)
+_table = st.lists(st.lists(_cell, min_size=1, max_size=4),
+                  min_size=1, max_size=4)
+_regions = st.lists(
+    st.one_of(st.tuples(st.just("p"), _para), st.tuples(st.just("t"), _table)),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_regions)
+def test_pdf_roundtrip_random_layouts(regions):
+    """Any writer-emittable page (random mix of paragraphs and ruled
+    tables, incl. ragged/empty cells and stacked tables) must extract to
+    exactly the constructed text in reading order."""
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import PageBuilder, build_pdf
+
+    pb = PageBuilder()
+    expected = []
+    for kind, content in regions:
+        if kind == "p":
+            pb.text_lines(content)
+            expected.append(" ".join(content))
+        else:
+            n_cols = max(len(r) for r in content)
+            pb.table(content)
+            expected.append("\n".join(
+                "\t".join((r + [""] * n_cols)[:n_cols]) for r in content))
+    out = extract_pdf(build_pdf([pb], compress=True))
+    assert out["parse_ok"]
+    assert out["extracted_text"] == "\n\n".join(t for t in expected if t)
