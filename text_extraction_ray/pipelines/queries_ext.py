@@ -481,6 +481,43 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf_topk(ds, vec, k=10, n_lists=16, nprobe=4)
 
 
+# --- explode: one row → many (list column with positions) ------------------
+
+def q_explode_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Positional explode (unnest-with-ordinality): tokenize the first 20
+    docs and emit one row per (doc_id, position, token).  The flat_map
+    shape every shingle/band operator builds on, exposed as a query."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, pos, toks = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            for p, t in enumerate((text or "").split()):
+                ids.append(doc_id)
+                pos.append(p)
+                toks.append(t)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "token": pa.array(toks, type=pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr="doc_id < 20")
+        .map_batches(explode, **_PYA)
+    )
+
+
+SQL_EXPLODE_TOKENS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+  FROM documents WHERE doc_id < 20),
+e AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS token FROM e
+"""
+
+
 # --- pivot: long → wide reshape --------------------------------------------
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -746,6 +783,7 @@ def queries_ext() -> dict:
         "events_cumulative": q_events_cumulative,
         "stratified_sample": q_stratified_sample,
         "events_pivot": q_events_pivot,
+        "explode_tokens": q_explode_tokens,
     }
 
 
@@ -767,6 +805,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "events_cumulative": SQL_EVENTS_CUMULATIVE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "events_pivot": SQL_EVENTS_PIVOT,
+        "explode_tokens": SQL_EXPLODE_TOKENS,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
