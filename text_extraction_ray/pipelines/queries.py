@@ -558,6 +558,22 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_explain_blocks(sf_dir: str) -> ray.data.Dataset:
+    """Per-block debug/explain table over the synthetic pages corpus
+    (rows-only): why each DOM block was kept or dropped."""
+    from ..pipelines.analysis import explain_blocks
+    from ..sources.synth import gen_corpus
+    from .extraction import read_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+    blocks = explain_blocks(read_pages(corpus), concurrency=(1, 8))
+    return blocks.select_columns(
+        ["url", "block_id", "tag_path", "n_chars", "link_density",
+         "stop_density", "cls"])
+
+
 def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
     """Flagship extraction over a deterministic synthetic pages corpus
     (the driver tables carry no raw-html column; FIXTURES SS1)."""
@@ -609,6 +625,7 @@ def queries() -> dict:
         "media_resize": q_media_resize,
         "video_frames": q_video_frames,
         "extract_pages": q_extract_pages,
+        "explain_blocks": q_explain_blocks,
     }
     base.update(queries_ext())
     return base
