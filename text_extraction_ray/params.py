@@ -103,3 +103,18 @@ def params_hash() -> str:
         sort_keys=True,
     ).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def engine_hash() -> str:
+    """params_hash extended with a digest of the byte-affecting core
+    sources (core/*.py): checkpoint manifests carry THIS, so a resumed
+    run never mixes outputs from two engine versions — a code change (not
+    just a constant change) forces recompute of undone partitions."""
+    import pathlib
+
+    h = hashlib.sha256(params_hash().encode())
+    core = pathlib.Path(__file__).parent / "core"
+    for p in sorted(core.glob("*.py")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]

@@ -5,7 +5,8 @@ checkpoint with per-partition lineage + metrics".
 
 Protocol: a partition's output is written to ``data.parquet.tmp`` then
 renamed; its manifest (JSON, also written atomically) is written LAST and
-its presence with a matching params_hash marks the partition done.  A
+its presence with a matching engine hash (constants + core source
+digest) marks the partition done.  A
 retried or resumed run therefore can never observe half-written output, and
 rerunning a finished partition is a no-op (idempotent rename-overwrite).
 """
@@ -19,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..params import params_hash
+from ..params import engine_hash
 
 MANIFEST_VERSION = 1
 
@@ -89,7 +90,7 @@ def write_manifest(ckpt_dir: str, pid: int, *, input_fragments: list[str],
         "input_fragments": input_fragments,
         "row_count": row_count,
         "sha256": sha256,
-        "params_hash": params_hash(),
+        "params_hash": engine_hash(),
         "completed": True,
         "counters": counters,
     }
@@ -120,7 +121,7 @@ def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
     m = load_manifest(ckpt_dir, pid)
     if not m or not m.get("completed"):
         return False
-    if m.get("params_hash") != params_hash():
+    if m.get("params_hash") != engine_hash():
         return False  # extraction constants changed → recompute
     if m.get("input_fragments") != expected_fragments:
         return False
