@@ -558,6 +558,21 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_html_tables(sf_dir: str) -> ray.data.Dataset:
+    """Structured table grids from HTML markup (rows-only): the
+    reference's tabular extraction on the HTML side — one output row per
+    table row, cells tab-joined like the PDF grid."""
+    from ..functions.html_tables import html_tables_batch
+    from ..sources.synth import gen_corpus
+    from .extraction import read_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+    return read_pages(corpus, columns=["url", "html"]).map_batches(
+        html_tables_batch, **_PYA)
+
+
 def q_explain_blocks(sf_dir: str) -> ray.data.Dataset:
     """Per-block debug/explain table over the synthetic pages corpus
     (rows-only): why each DOM block was kept or dropped."""
@@ -626,6 +641,7 @@ def queries() -> dict:
         "video_frames": q_video_frames,
         "extract_pages": q_extract_pages,
         "explain_blocks": q_explain_blocks,
+        "html_tables": q_html_tables,
     }
     base.update(queries_ext())
     return base
