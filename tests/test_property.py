@@ -128,3 +128,32 @@ def test_pdf_roundtrip_random_layouts(regions):
     out = extract_pdf(build_pdf([pb], compress=True))
     assert out["parse_ok"]
     assert out["extracted_text"] == "\n\n".join(t for t in expected if t)
+
+
+# --- HTML table-grid extraction properties ---------------------------------
+
+_tcell = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ", max_size=6)
+_tgrid = st.lists(st.lists(_tcell, min_size=1, max_size=4),
+                  min_size=1, max_size=4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tgrid)
+def test_html_table_roundtrip(grid):
+    from text_extraction_ray.functions.html_tables import tables_in_doc
+
+    doc = "<table>" + "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+        for row in grid) + "</table>"
+    expect = [[" ".join(c.split()) for c in row] for row in grid]
+    assert tables_in_doc(doc) == [expect]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup)
+def test_html_tables_total_on_soup(doc):
+    from text_extraction_ray.functions.html_tables import tables_in_doc
+
+    for rows in tables_in_doc(doc):
+        for row in rows:
+            assert all(isinstance(c, str) for c in row)
