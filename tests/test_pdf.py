@@ -92,3 +92,19 @@ def test_ragged_rows_and_empty_cells():
     pb.table([["a", "", "c"], ["1", "2"]])
     out = extract_pdf(build_pdf([pb]))
     assert out["extracted_text"] == "a\t\tc\n1\t2\t"
+
+
+def test_pdf_tables_structured():
+    from text_extraction_ray.core.pdf import pdf_tables
+
+    pb = PageBuilder()
+    pb.text_lines(["intro"])
+    pb.table([["a", "b"], ["1", "2"]])
+    pb.table([["x"]])
+    payload = build_pdf([pb])
+    assert pdf_tables(payload) == ["a\tb\n1\t2", "x"]
+    # consistency: the same grids appear inside full extraction
+    full = extract_pdf(payload)["extracted_text"]
+    for g in pdf_tables(payload):
+        assert g in full
+    assert pdf_tables(b"%PDF-garbage") == []

@@ -428,6 +428,21 @@ def _text_regions(runs: list[_Run]) -> list[_Region]:
     return regions
 
 
+def pdf_tables(payload: bytes) -> list[str]:
+    """Structured variant of the cell-grid path: ONLY the detected table
+    regions, one grid string per table (cells \\t, rows \\n), page order
+    then reading order — symmetric to functions/html_tables.render_tables
+    so both document types expose their tabular data the same way."""
+    objects = _parse_objects(payload)
+    grids: list[str] = []
+    for stream in _page_content_streams(payload, objects):
+        runs, rects = _interpret(stream)
+        tables, _ = _detect_tables(rects, runs)
+        tables.sort(key=lambda g: (-g.top, g.left))
+        grids.extend(t.text for t in tables if t.text)
+    return grids
+
+
 def extract_pdf(payload: bytes) -> dict:
     """Full PDF path: pages → runs/rects → tables + text regions → text.
 

@@ -573,6 +573,38 @@ def q_html_tables(sf_dir: str) -> ray.data.Dataset:
         html_tables_batch, **_PYA)
 
 
+def q_pdf_tables(sf_dir: str) -> ray.data.Dataset:
+    """Structured table grids from the corpus PDFs (rows-only): the
+    cell-grid detection output exposed directly, one row per table."""
+    from ..core.encoding import sniff_doc_type
+    from ..core.pdf import pdf_tables
+    from ..sources.synth import gen_corpus
+    from .extraction import read_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
+    gen_corpus(corpus, 500, seed=42, n_shards=8)
+
+    def grids(b: pa.Table) -> pa.Table:
+        urls, t_idx, grid = [], [], []
+        for url, payload in zip(b.column("url").to_pylist(),
+                                b.column("html").to_pylist()):
+            if sniff_doc_type(payload or b"") != "pdf":
+                continue
+            for ti, g in enumerate(pdf_tables(payload)):
+                urls.append(url)
+                t_idx.append(ti)
+                grid.append(g)
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "table_idx": pa.array(t_idx, type=pa.int32()),
+            "grid": pa.array(grid, type=pa.string()),
+        })
+
+    return read_pages(corpus, columns=["url", "html"]).map_batches(
+        grids, **_PYA)
+
+
 def q_explain_blocks(sf_dir: str) -> ray.data.Dataset:
     """Per-block debug/explain table over the synthetic pages corpus
     (rows-only): why each DOM block was kept or dropped."""
@@ -642,6 +674,7 @@ def queries() -> dict:
         "extract_pages": q_extract_pages,
         "explain_blocks": q_explain_blocks,
         "html_tables": q_html_tables,
+        "pdf_tables": q_pdf_tables,
     }
     base.update(queries_ext())
     return base
