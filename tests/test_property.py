@@ -157,3 +157,22 @@ def test_html_tables_total_on_soup(doc):
     for rows in tables_in_doc(doc):
         for row in rows:
             assert all(isinstance(c, str) for c in row)
+
+
+_pline = st.lists(_pword, min_size=1, max_size=4).map(" ".join)
+_col = st.lists(_pline, min_size=3, max_size=6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_col, _col)
+def test_pdf_two_column_reading_order(left, right):
+    """Left column reads fully before the right column for any two
+    overlapping >=3-line columns (the documented column-split condition)."""
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import TOP_Y, PageBuilder, build_pdf
+
+    pb = PageBuilder()
+    pb.text_lines(left)
+    pb.text_lines_at(right, x=360.0, y=TOP_Y)
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == " ".join(left) + "\n\n" + " ".join(right)
