@@ -126,3 +126,18 @@ def test_corrupt_gzip_salvages_prefix(tmp_path):
     # truncation mid-member never raises
     for cut in (0, 1, 5, second, second + 3, len(data) - 2):
         list(parse_warc(bytes(data[:cut])))
+
+
+def test_uri_with_control_chars_roundtrips(tmp_path):
+    """Fuzz regression: CR/LF or blanks in a url must not break WARC
+    header framing — the writer percent-encodes them."""
+    from text_extraction_ray.sources.warc import _safe_uri
+
+    recs = [("bad\r\nurl", TS, b"<p>a</p>"), (" lead", TS, b""),
+            ("tab\there", TS, b"x"), ("unicode-ü", TS, b"y")]
+    p = str(tmp_path / "ctl.warc")
+    write_warc(p, recs)
+    got = list(parse_warc(open(p, "rb").read()))
+    assert got == [(_safe_uri(u), t, b) for u, t, b in recs]
+    assert _safe_uri("bad\r\nurl") == "bad%0D%0Aurl"
+    assert _safe_uri("unicode-ü") == "unicode-ü"

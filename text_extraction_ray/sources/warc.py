@@ -34,13 +34,23 @@ _CRLF = b"\r\n"
 _WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 
+def _safe_uri(url: str) -> str:
+    """WARC-Target-URI must carry no CTL bytes (they would break header
+    framing) and no leading/trailing blanks (header values are stripped):
+    percent-encode control chars and spaces, leave everything else —
+    including non-ASCII, which travels as utf-8 — untouched."""
+    return "".join(
+        c if (ord(c) > 0x20 and ord(c) != 0x7F) else "%%%02X" % ord(c)
+        for c in url)
+
+
 def _warc_record(url: str, ts: _dt.datetime, body: bytes) -> bytes:
     http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
             b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
     headers = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
-        b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+        b"WARC-Target-URI: " + _safe_uri(url).encode("utf-8") + _CRLF +
         b"WARC-Date: " + ts.strftime(_WARC_DATE_FMT).encode() + _CRLF +
         b"Content-Type: application/http; msgtype=response\r\n"
         b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
