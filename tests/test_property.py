@@ -176,3 +176,16 @@ def test_pdf_two_column_reading_order(left, right):
     pb.text_lines_at(right, x=360.0, y=TOP_Y)
     out = extract_pdf(build_pdf([pb]))
     assert out["extracted_text"] == " ".join(left) + "\n\n" + " ".join(right)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                      blacklist_characters="﻿"),
+               max_size=500))
+def test_utf8_decode_roundtrip(t):
+    """Strict-utf8 sniffing: any BOM-free unicode payload decodes back
+    byte-exactly."""
+    from text_extraction_ray.core.encoding import decode_html
+
+    decoded, _charset = decode_html(t.encode("utf-8"))
+    assert decoded == t
