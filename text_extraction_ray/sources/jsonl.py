@@ -20,16 +20,14 @@ import pyarrow as pa
 
 import ray.data
 
-_TS_FMT = "%Y-%m-%dT%H:%M:%S"
-
-
 def write_jsonl(path: str, rows: list[dict]) -> str:
     """Fixture writer: rows with url/warc_ts(datetime)/html(bytes)/text/lang."""
     with open(path, "w", encoding="utf-8") as fh:
         for r in rows:
             fh.write(json.dumps({
                 "url": r["url"],
-                "warc_ts": r["warc_ts"].strftime(_TS_FMT),
+                # full isoformat: sub-second precision survives the trip
+                "warc_ts": r["warc_ts"].isoformat(),
                 "html_b64": base64.b64encode(r["html"] or b"").decode("ascii"),
                 "text": r.get("text", ""),
                 "lang": r.get("lang", ""),
@@ -52,8 +50,7 @@ def jsonl_batch_to_pages(batch: pa.Table) -> pa.Table:
         # read_json already inferred the ISO strings as timestamps
         ts = ts_col.cast(pa.timestamp("us")).to_pylist()
     else:
-        ts = [_dt.datetime.strptime(s, _TS_FMT)
-              for s in ts_col.to_pylist()]
+        ts = [_dt.datetime.fromisoformat(s) for s in ts_col.to_pylist()]
     html = [base64.b64decode(s or "")
             for s in batch.column("html_b64").to_pylist()]
     return pa.table({
