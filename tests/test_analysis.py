@@ -67,3 +67,28 @@ def test_filters(out_ds):
     long_docs = filter_minlen(out_ds, 500).take_all()
     assert all(len(r["extracted_text"]) >= 500 for r in long_docs)
     assert 0 < len(long_docs) < 200
+
+
+def test_dedup_keep_latest_tie_deterministic(ray_session):
+    """warc_ts ties resolve by row content, not shuffle-dependent group
+    order: shuffled inputs give the identical winner."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    import ray.data
+    from text_extraction_ray.pipelines.analysis import dedup_keep_latest
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        {"url": "u", "warc_ts": ts, "html": b"b-version", "lang": "en"},
+        {"url": "u", "warc_ts": ts, "html": b"a-version", "lang": "en"},
+        {"url": "v", "warc_ts": ts, "html": b"only", "lang": "en"},
+    ]
+    winners = set()
+    for order in (rows, rows[::-1]):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(order))
+        out = dedup_keep_latest(ds).to_pandas().sort_values("url")
+        winners.add(tuple(bytes(h) for h in out["html"]))
+    assert len(winners) == 1
+    assert winners.pop() == (b"b-version", b"only")

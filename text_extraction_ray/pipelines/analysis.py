@@ -84,12 +84,20 @@ def dedup_keep_latest(pages_ds: ray.data.Dataset) -> ray.data.Dataset:
     """G3 (opt-in): one row per url, max warc_ts wins.
 
     Hash-partitions by url — the ONLY shuffle in the pages path, which is
-    why it is opt-in rather than part of the flagship job.
+    why it is opt-in rather than part of the flagship job.  Ties on
+    warc_ts break by the full serialized row (NOT by group row order,
+    which is shuffle-dependent) so the winner is deterministic under any
+    physical plan.
     """
 
     def latest(group: pa.Table) -> pa.Table:
         ts = group.column("warc_ts").to_pylist()
-        best = max(range(len(ts)), key=lambda i: ts[i])
+        cols = [group.column(n).to_pylist() for n in group.schema.names]
+
+        def key(i: int):
+            return (ts[i], tuple(str(c[i]) for c in cols))
+
+        best = max(range(len(ts)), key=key)
         return group.slice(best, 1)
 
     return pages_ds.groupby("url").map_groups(latest, batch_format="pyarrow")
