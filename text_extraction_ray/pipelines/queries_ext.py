@@ -1,23 +1,27 @@
 """Extended driver-contract queries (SURVEY SS2.5-2.8 widening).
 
-Second batch of oracled operators beyond pipelines/queries.py:
+Operators beyond pipelines/queries.py, each with an exact DuckDB oracle
+unless noted:
 
-- top-N per group (window-function analog via groupby().map_groups)
-- 3-way join: native shuffle join (large x large) chained with a
-  broadcast map (tiny dimension) — the two join strategies composed
-- anti-join via Ray Data's native ``left_anti`` join
-- Std/Min/Max/Mean aggregate spread per key
+- top-N per group; deterministic md5-ordered stratified sample
+- 3-way join (native shuffle join ∘ broadcast map); anti-join
+  (left_anti); semi-join (left_semi)
+- Std/Min/Max/Mean spread per key; exact per-group quantiles
+  (quantile_cont semantics); pivot (long→wide via map-side indicator
+  columns); positional explode (unnest-with-ordinality)
 - per-label embedding centroids via PARTIAL aggregation (per-batch
-  numpy column sums -> tiny (label, dim) groupby — the combiner
+  numpy column sums → tiny (label, dim) groupby — the combiner
   pattern that keeps the shuffle small at 100 TB)
-- union + distinct count (set semantics over Dataset.union)
-
-plus exact SQL oracles for two previously rows-only operators:
-
-- n-gram Jaccard (functions/dedup.py pairwise verification)
-- stopword-vote language ID (core/stopwords.vote_lang), with the
-  VALUES list generated from the SAME frozen stoplists the engine
-  ships, so the oracle can never drift from the implementation.
+- union + distinct count; salted two-phase aggregate for hot keys
+- gap-based sessionization (windowed custom op); cumulative daily
+  totals (distributed reduce → tiny driver cumsum)
+- md5-winnowing fingerprint; BPE-ish subtoken totals (RE2 parity)
+- exact SQL oracles for two functions/-implemented operators:
+  n-gram Jaccard (bit-exact, unrounded division) and stopword-vote
+  language ID (VALUES generated from the engine's own frozen
+  stoplists, so the oracle can never drift)
+- rows-only: IVF ANN (approximate by construction) and the
+  extract→embed→LSH-near-dup loop over the synthetic pages corpus
 """
 
 from __future__ import annotations
