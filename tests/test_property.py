@@ -189,3 +189,36 @@ def test_utf8_decode_roundtrip(t):
 
     decoded, _charset = decode_html(t.encode("utf-8"))
     assert decoded == t
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_regions, min_size=1, max_size=3))
+def test_pdf_multipage_roundtrip_and_spans(pages):
+    """Multi-page documents: pages join with JOINER and the returned spans
+    tile extracted_text exactly (page boundaries are the span edges)."""
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import PageBuilder, build_pdf
+
+    pbs, page_texts = [], []
+    for regions in pages:
+        pb = PageBuilder()
+        parts = []
+        for kind, content in regions:
+            if kind == "p":
+                pb.text_lines(content)
+                parts.append(" ".join(content))
+            else:
+                n_cols = max(len(r) for r in content)
+                pb.table(content)
+                parts.append("\n".join(
+                    "\t".join((r + [""] * n_cols)[:n_cols]) for r in content))
+        pbs.append(pb)
+        text = "\n\n".join(t for t in parts if t)
+        if text:
+            page_texts.append(text)
+    out = extract_pdf(build_pdf(pbs, compress=True))
+    assert out["extracted_text"] == "\n\n".join(page_texts)
+    pos = 0
+    for (s, e), pt in zip(out["spans"], page_texts):
+        assert (s, e) == (pos, pos + len(pt))
+        pos = e + 2
