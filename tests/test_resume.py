@@ -66,3 +66,48 @@ def test_job_matches_streaming_pipeline(ray_session, tiny_corpus_dir, tmp_path, 
             assert gold[url] == text
             seen[url] = text
     assert set(seen) == set(gold)
+
+
+def test_empty_shard_completes_and_resumes(ray_session, tmp_path):
+    """ADVICE r1 (medium): a shard yielding ZERO rows (empty parquet) must
+    still produce an OUT-schema output + manifest so resume skips it
+    instead of retrying forever."""
+    import pyarrow as pa
+
+    from text_extraction_ray.schemas import PAGES
+
+    inp = tmp_path / "empty_in"
+    inp.mkdir()
+    pq.write_table(PAGES.empty_table(), str(inp / "shard-000.parquet"))
+    out = str(tmp_path / "empty_out")
+
+    s1 = run_extraction_job(str(inp), out, concurrency=1)
+    assert s1["partitions_run"] == 1
+    assert s1["cumulative"]["partitions"] == 1
+    assert s1["cumulative"]["docs_out"] == 0
+    t = pq.read_table(os.path.join(partition_out_dir(out, 0), "data.parquet"))
+    assert t.num_rows == 0
+    assert "extracted_text" in t.schema.names
+
+    s2 = run_extraction_job(str(inp), out, concurrency=1)
+    assert s2["partitions_run"] == 0 and s2["partitions_skipped"] == 1
+
+
+def test_format_change_recomputes(ray_session, tiny_corpus_dir, tmp_path):
+    """ADVICE r1: rerunning with a different --format must recompute the
+    partitions in the new format, not silently skip them."""
+    out = str(tmp_path / "fmt_out")
+    ckpt = str(tmp_path / "fmt_ckpt")
+
+    s1 = run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2,
+                            output_format="parquet")
+    assert s1["partitions_run"] == 4
+
+    s2 = run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2,
+                            output_format="csv")
+    assert s2["partitions_run"] == 4  # format changed -> full recompute
+    assert os.path.exists(os.path.join(partition_out_dir(out, 0), "data.csv"))
+
+    s3 = run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2,
+                            output_format="csv")
+    assert s3["partitions_run"] == 0 and s3["partitions_skipped"] == 4

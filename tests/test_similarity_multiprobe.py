@@ -1,0 +1,133 @@
+"""Multi-probe LSH near-dup recall + truncation-logging guards (round 2).
+
+VERDICT r1 #8: unioning rotated plane sets must raise lsh_neardup_pairs
+recall toward the broadcast (exact) pair set, at bounded shuffle.
+ADVICE r1: hot-bucket truncation in the minhash/simhash pair kernels must
+be logged, not silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _clustered_vectors(n_clusters: int = 40, per: int = 3, dim: int = 32,
+                       noise: float = 0.03, seed: int = 9):
+    """Clusters of near-duplicate vectors (cos ≈ 0.97+ within a cluster)."""
+    rs = np.random.RandomState(seed)
+    ids, vecs = [], []
+    for c in range(n_clusters):
+        base = rs.randn(dim)
+        base /= np.linalg.norm(base)
+        for j in range(per):
+            v = base + noise * rs.randn(dim)
+            ids.append(c * 100 + j)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float64))
+    return ids, vecs
+
+
+def _pair_set(ds) -> set[tuple[int, int]]:
+    t = ds.to_pandas()
+    return set(zip(t["id_a"].tolist(), t["id_b"].tolist()))
+
+
+def test_multiprobe_improves_recall(ray_session):
+    from text_extraction_ray.functions.similarity import (
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    ids, vecs = _clustered_vectors()
+    tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    exact = _pair_set(embedding_neardup_pairs(
+        ds, np.asarray(ids, dtype=np.int64), np.stack(vecs),
+        threshold=0.9, id_col="doc_id"))
+    assert len(exact) >= 40  # the clusters really are near-dups
+
+    one = _pair_set(lsh_neardup_pairs(ds, threshold=0.9, n_plane_sets=1))
+    multi = _pair_set(lsh_neardup_pairs(ds, threshold=0.9, n_plane_sets=3))
+
+    # no false positives: LSH pairs are verified by exact cosine in-bucket
+    assert one <= exact and multi <= exact
+    # OR-construction: recall is monotone in the number of plane sets and
+    # strictly better on this clustered corpus
+    assert one <= multi
+    assert len(multi) > len(one)
+    assert len(multi) / len(exact) >= 0.6
+
+
+def test_single_plane_set_output_unchanged(ray_session):
+    """n_plane_sets=1 (the round-1 default) must keep the same schema and
+    deterministic pair set run-to-run."""
+    from text_extraction_ray.functions.similarity import lsh_neardup_pairs
+
+    ids, vecs = _clustered_vectors(n_clusters=10)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+    })
+    a = _pair_set(lsh_neardup_pairs(ray.data.from_arrow(tbl), threshold=0.9))
+    b = _pair_set(lsh_neardup_pairs(ray.data.from_arrow(tbl), threshold=0.9))
+    assert a == b
+
+
+def test_bucket_truncation_is_logged(capsys):
+    """ADVICE r1: _pairs_from_bucket / _simhash_pairs_from_bucket must log
+    when a hot bucket exceeds MAX_BUCKET (inline call, no Ray needed)."""
+    from text_extraction_ray.functions.dedup import (
+        MAX_BUCKET,
+        NUM_PERM,
+        _pairs_from_bucket,
+        _simhash_pairs_from_bucket,
+    )
+
+    n = MAX_BUCKET + 10
+    sig = np.zeros(NUM_PERM, dtype=np.uint64).tobytes()
+    g = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "sig": pa.array([sig] * n, type=pa.binary()),
+    })
+    out = _pairs_from_bucket(g)
+    assert out.num_rows == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    assert "bucket size" in capsys.readouterr().err
+
+    g2 = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "sim": pa.array([0] * n, type=pa.int64()),
+    })
+    out2 = _simhash_pairs_from_bucket(g2)
+    assert out2.num_rows == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    assert "bucket size" in capsys.readouterr().err
+
+
+def test_fresh_removes_orphan_partitions(ray_session, tmp_path):
+    """ADVICE r1: --fresh must drop stale part=* dirs so a smaller input
+    can't leave orphans in --report/--dedup."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from text_extraction_ray.run import main
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    big = str(tmp_path / "big_in")
+    gen_corpus(big, 60, seed=3, n_shards=3)
+    out = str(tmp_path / "out")
+    assert main(["--input", big, "--output", out]) == 0
+    assert os.path.isdir(os.path.join(out, "part=00002"))
+
+    small = str(tmp_path / "small_in")
+    gen_corpus(small, 20, seed=4, n_shards=1)
+    assert main(["--input", small, "--output", out, "--fresh"]) == 0
+    parts = sorted(d for d in os.listdir(out) if d.startswith("part="))
+    assert parts == ["part=00000"]  # orphans part=00001/2 are gone
+    t = pq.read_table(os.path.join(out, "part=00000", "data.parquet"))
+    assert t.num_rows == 20

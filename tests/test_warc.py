@@ -134,10 +134,19 @@ def test_uri_with_control_chars_roundtrips(tmp_path):
     from text_extraction_ray.sources.warc import _safe_uri
 
     recs = [("bad\r\nurl", TS, b"<p>a</p>"), (" lead", TS, b""),
-            ("tab\there", TS, b"x"), ("unicode-ü", TS, b"y")]
+            ("tab\there", TS, b"x"), ("unicode-ü", TS, b"y"),
+            ("pct%41-and-%0D-literal", TS, b"z"),  # '%' must be injective
+            ("100%", TS, b"w")]
     p = str(tmp_path / "ctl.warc")
     write_warc(p, recs)
     got = list(parse_warc(open(p, "rb").read()))
-    assert got == [(_safe_uri(u), t, b) for u, t, b in recs]
+    # writer↔parser round-trips every URL BYTE-EXACTLY (the parser inverts
+    # _safe_uri's escapes; '%' itself is escaped so the coding is injective)
+    assert got == recs
     assert _safe_uri("bad\r\nurl") == "bad%0D%0Aurl"
     assert _safe_uri("unicode-ü") == "unicode-ü"
+    assert _safe_uri("100%") == "100%25"
+    # foreign-WARC safety: ordinary percent-encoded URL bytes pass through
+    from text_extraction_ray.sources.warc import _decode_uri
+    assert _decode_uri(b"a%2Fb%3Ac") == "a%2Fb%3Ac"
+    assert _decode_uri(b"a%20b%25c") == "a b%c"

@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..schemas import OUT
 from ..stages.extract import Extractor
 from ..state.checkpoint import (
     partition_out_dir,
@@ -65,9 +66,13 @@ class PartitionWorker:
             for t in _iter_shard_tables(shard):
                 bytes_in += t.column("html").nbytes
                 out_tables.append(self.extractor(t))
-            out = pa.concat_tables(out_tables) if out_tables else None
-            if out is None or out.num_rows == 0:
-                out = out_tables[0] if out_tables else pa.table({})
+            # A shard may legitimately yield ZERO tables (empty parquet
+            # shard, fully-corrupt .warc.gz salvaged to nothing): fall back
+            # to an empty table WITH the OUT schema so sort_by, counters
+            # and the manifest write all succeed and resume doesn't retry
+            # the shard forever (ADVICE r1, medium).
+            out = (pa.concat_tables(out_tables) if out_tables
+                   else OUT.empty_table())
             out = out.sort_by("url")  # byte-stable row order within partition
             if self.output_format == "csv":
                 data_path = os.path.join(
@@ -94,6 +99,7 @@ class PartitionWorker:
                 row_count=out.num_rows,
                 sha256=sha256_of_column(out, "extracted_text"),
                 counters=counters,
+                output_format=self.output_format,
             )
             metrics_rows.append(
                 {"partition_id": pid, "stage": "extract",
@@ -209,7 +215,8 @@ def run_extraction_job(
     """
     ckpt_dir = ckpt_dir or os.path.join(output_dir, "_ckpt")
     shards = list_shards(input_path)
-    pending = prune_done(shards, output_dir, ckpt_dir)
+    pending = prune_done(shards, output_dir, ckpt_dir,
+                         output_format=output_format)
     summary = {
         "partitions_total": len(shards),
         "partitions_skipped": len(shards) - len(pending),

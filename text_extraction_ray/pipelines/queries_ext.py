@@ -36,6 +36,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from ..core.stopwords import DEFAULT_LANG, STOPWORDS
+from .queries import broadcast_attach_factory
 
 _PYA = {"batch_format": "pyarrow"}
 _BIG_ORDER = 400_000.0  # high-value order threshold shared by two queries
@@ -98,13 +99,9 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    nmap_ref = ray.put(dict(zip(nation.column("n_nationkey").to_pylist(),
-                                nation.column("n_name").to_pylist())))
-
-    def attach(b: pa.Table) -> pa.Table:
-        m = ray.get(nmap_ref)
-        names = [m.get(k, "") for k in b.column("c_nationkey").to_pylist()]
-        return b.append_column("n_name", pa.array(names, type=pa.string()))
+    attach = broadcast_attach_factory(
+        nation.column("n_nationkey"), nation.column("n_name"),
+        "c_nationkey", "n_name")
 
     agg = (
         joined.map_batches(attach, **_PYA)

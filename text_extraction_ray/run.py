@@ -57,9 +57,16 @@ def main(argv: list[str] | None = None) -> int:
             8, args.synth_rows // 500))
 
     if args.fresh:
+        import glob
+        import os
         import shutil
 
         shutil.rmtree(args.ckpt or f"{args.output}/_ckpt", ignore_errors=True)
+        # Also remove stale part=* output dirs: if the new input has fewer
+        # shards, orphaned partitions from the previous run would otherwise
+        # survive and corrupt --report/--dedup (ADVICE r1).
+        for d in glob.glob(os.path.join(args.output, "part=*")):
+            shutil.rmtree(d, ignore_errors=True)
 
     from .pipelines.job import run_extraction_job
 

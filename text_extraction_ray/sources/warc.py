@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 import gzip
 import io
+import re
 
 import pyarrow as pa
 
@@ -33,15 +34,32 @@ import ray.data
 _CRLF = b"\r\n"
 _WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
+_PCT_RE = re.compile(rb"%([0-9A-Fa-f]{2})")
+
 
 def _safe_uri(url: str) -> str:
     """WARC-Target-URI must carry no CTL bytes (they would break header
     framing) and no leading/trailing blanks (header values are stripped):
-    percent-encode control chars and spaces, leave everything else —
-    including non-ASCII, which travels as utf-8 — untouched."""
+    percent-encode control chars, spaces AND '%' itself (so the encoding
+    is injective and the parser can invert it — ADVICE r1), leave
+    everything else — including non-ASCII, which travels as utf-8 —
+    untouched."""
     return "".join(
-        c if (ord(c) > 0x20 and ord(c) != 0x7F) else "%%%02X" % ord(c)
+        "%%%02X" % ord(c) if (ord(c) <= 0x20 or ord(c) == 0x7F or c == "%")
+        else c
         for c in url)
+
+
+def _decode_uri(raw: bytes) -> str:
+    """Inverse of ``_safe_uri``: decode ONLY the %XX escapes _safe_uri can
+    emit (CTL / space / DEL / '%') so the writer↔parser pair round-trips
+    every URL byte-exactly, while ordinary percent-encoded URL bytes in
+    foreign WARCs (%2F, %3A, ...) pass through untouched."""
+    def repl(m: re.Match) -> bytes:
+        b = int(m.group(1), 16)
+        return bytes([b]) if (b <= 0x20 or b in (0x25, 0x7F)) else m.group(0)
+
+    return _PCT_RE.sub(repl, raw).decode("utf-8", "replace")
 
 
 def _warc_record(url: str, ts: _dt.datetime, body: bytes) -> bytes:
@@ -126,7 +144,7 @@ def parse_warc(data: bytes):
         pos = head_end + 4 + length
         if headers.get(b"warc-type") != b"response":
             continue
-        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        url = _decode_uri(headers.get(b"warc-target-uri", b""))
         ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
         try:
             ts = _dt.datetime.strptime(ts_raw, _WARC_DATE_FMT)

@@ -82,7 +82,8 @@ def sha256_of_column(table: pa.Table, column: str) -> str:
 
 
 def write_manifest(ckpt_dir: str, pid: int, *, input_fragments: list[str],
-                   row_count: int, sha256: str, counters: dict) -> str:
+                   row_count: int, sha256: str, counters: dict,
+                   output_format: str = "parquet") -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     doc = {
         "version": MANIFEST_VERSION,
@@ -93,6 +94,7 @@ def write_manifest(ckpt_dir: str, pid: int, *, input_fragments: list[str],
         "params_hash": engine_hash(),
         "completed": True,
         "counters": counters,
+        "output_format": output_format,
     }
     path = manifest_file(ckpt_dir, pid)
     tmp = path + ".tmp"
@@ -116,8 +118,11 @@ def load_manifest(ckpt_dir: str, pid: int) -> dict | None:
 
 
 def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
-                      expected_fragments: list[str]) -> bool:
-    """J2 resume predicate: manifest present, params match, output exists."""
+                      expected_fragments: list[str],
+                      output_format: str = "parquet") -> bool:
+    """J2 resume predicate: manifest present, params match, output exists
+    IN THE REQUESTED FORMAT — rerunning with a different --format recomputes
+    the partition instead of silently skipping it (ADVICE r1)."""
     m = load_manifest(ckpt_dir, pid)
     if not m or not m.get("completed"):
         return False
@@ -125,18 +130,21 @@ def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
         return False  # extraction constants changed → recompute
     if m.get("input_fragments") != expected_fragments:
         return False
+    if m.get("output_format", "parquet") != output_format:
+        return False  # format changed → recompute in the new format
     pdir = partition_out_dir(output_dir, pid)
-    return (os.path.exists(os.path.join(pdir, "data.parquet"))
-            or os.path.exists(os.path.join(pdir, "data.csv")))
+    fname = "data.csv" if output_format == "csv" else "data.parquet"
+    return os.path.exists(os.path.join(pdir, fname))
 
 
-def prune_done(shards: list[str], output_dir: str,
-               ckpt_dir: str) -> list[tuple[int, str]]:
+def prune_done(shards: list[str], output_dir: str, ckpt_dir: str,
+               output_format: str = "parquet") -> list[tuple[int, str]]:
     """S4: (pid, shard) pairs still pending — driver-side anti-join vs the
     manifest set (the manifest side is tiny; never a distributed join)."""
     pending = []
     for pid, shard in enumerate(shards):
-        if not partition_is_done(ckpt_dir, pid, output_dir, [shard]):
+        if not partition_is_done(ckpt_dir, pid, output_dir, [shard],
+                                 output_format):
             pending.append((pid, shard))
     return pending
 
