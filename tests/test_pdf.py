@@ -108,3 +108,69 @@ def test_pdf_tables_structured():
     for g in pdf_tables(payload):
         assert g in full
     assert pdf_tables(b"%PDF-garbage") == []
+
+
+def _flate(b: bytes) -> bytes:
+    import zlib
+
+    return zlib.compress(b)
+
+
+def test_indirect_length_resolves():
+    """Round 2 (VERDICT r1 'Missing' #5): '/Length N 0 R' streams slice
+    via the referenced integer object instead of degrading to empty."""
+    content = b"BT /F1 12 Tf 72 700 Td (Hello indirect length) Tj ET"
+    comp = _flate(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Root 1 0 R /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+           b"4 0 obj << /Length 5 0 R /Filter /FlateDecode >> stream\n"
+           + comp + b"\nendstream endobj\n"
+           b"5 0 obj " + str(len(comp)).encode() + b" endobj\n"
+           b"trailer << /Root 1 0 R >>\n%%EOF")
+    r = extract_pdf(pdf)
+    assert "Hello indirect length" in r["extracted_text"]
+    assert r["parse_ok"]
+
+
+def test_objstm_page_tree_and_xref_stream_tolerance():
+    """PDF 1.5 compressed object streams: page dictionaries living inside
+    a /ObjStm resolve; a binary /XRef stream containing a chance 'BT' is
+    never misread as a content stream."""
+    bodies = [b"<< /Type /Catalog /Pages 2 0 R >>",
+              b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+              b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"]
+    offsets, blob = [], b""
+    for body in bodies:
+        offsets.append(len(blob))
+        blob += body + b" "
+    pairs = b" ".join(f"{n} {o}".encode()
+                      for n, o in zip((1, 2, 3), offsets)) + b" "
+    comp_stm = _flate(pairs + blob)
+    content = b"BT 72 700 Td (ObjStm page tree works) Tj ET"
+    comp = _flate(content)
+    pdf = (b"%PDF-1.5\n"
+           b"6 0 obj << /Type /ObjStm /N 3 /First "
+           + str(len(pairs)).encode() + b" /Length "
+           + str(len(comp_stm)).encode()
+           + b" /Filter /FlateDecode >> stream\n"
+           + comp_stm + b"\nendstream endobj\n"
+           b"4 0 obj << /Length " + str(len(comp)).encode()
+           + b" /Filter /FlateDecode >> stream\n"
+           + comp + b"\nendstream endobj\n"
+           b"7 0 obj << /Type /XRef /Root 1 0 R /Length 8 >> stream\n"
+           b"BT\x00\x01\x02\x03ET\nendstream endobj\n%%EOF")
+    r = extract_pdf(pdf)
+    assert "ObjStm page tree works" in r["extracted_text"]
+    assert "\x00" not in r["extracted_text"]
+
+
+def test_writer_pdfs_unaffected_by_robustness_paths():
+    """Regression: the supported-subset writer output parses identically
+    (direct /Length path untouched)."""
+    pg = PageBuilder()
+    pg.text_lines(["plain direct-length page"])
+    for compress in (False, True):
+        r = extract_pdf(build_pdf([pg], compress=compress))
+        assert "plain direct-length page" in r["extracted_text"]

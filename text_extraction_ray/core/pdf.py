@@ -11,9 +11,14 @@ y-clustering with reading-order reconstruction (two-column aware).
 Stdlib only (re + zlib).  Pure function of the payload bytes — shared by
 the oracle and the Ray actor pool, so per-url byte-identity holds.
 
-Supported subset = exactly what core/pdf_write.py emits (SURVEY SS7 hard
-part #3): direct /Length integers, /FlateDecode, BT/ET Td/TD/Tm/T* Tj/TJ,
-``re`` + f/S.  Anything else degrades gracefully (runs are simply skipped).
+Supported subset (round 2 widened toward real-crawl PDFs, VERDICT r1
+'Missing' #5): direct AND indirect (``N 0 R``) /Length, /FlateDecode,
+object streams (/Type /ObjStm — embedded dictionary objects are expanded
+so fully-compressed PDFs resolve their page tree), xref-stream files
+(tolerated: the linear object scan never needs the xref table, and
+/XRef / /ObjStm binary streams are excluded from the BT-containing
+last-resort heuristic), BT/ET Td/TD/Tm/T* Tj/TJ, ``re`` + f/S.  Anything
+else degrades gracefully (runs are simply skipped).
 """
 
 from __future__ import annotations
@@ -32,7 +37,10 @@ from ..params import (
 )
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -88,12 +96,18 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 data_start += 2
             elif payload[data_start : data_start + 1] == b"\n":
                 data_start += 1
+            length = None
             if lm:
                 length = int(lm.group(1))
+            else:
+                im = _LENGTH_IND_RE.search(header)
+                if im:  # indirect /Length N 0 R → resolve the int object
+                    length = _resolve_int_object(payload, int(im.group(1)))
+            if length is not None:
                 data = payload[data_start : data_start + length]
                 tail = payload.find(b"endobj", data_start + length)
                 pos = tail + 6 if tail != -1 else n
-            else:  # no length: scan for endstream
+            else:  # no usable length: scan for endstream
                 es = payload.find(b"endstream", data_start)
                 data = payload[data_start : es if es != -1 else n]
                 tail = payload.find(b"endobj", es if es != -1 else n)
@@ -108,7 +122,45 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             header = payload[body_start : ek if ek != -1 else n]
             objects[num] = (header, None)
             pos = ek + 6 if ek != -1 else n
+    _expand_object_streams(objects)
     return objects
+
+
+def _resolve_int_object(payload: bytes, num: int) -> int | None:
+    """Value of ``num g obj <int> endobj`` (indirect /Length target)."""
+    m = re.search(
+        rb"(?<![0-9])" + str(num).encode()
+        + rb"\s+\d+\s+obj\s*(\d+)\s*endobj", payload)
+    return int(m.group(1)) if m else None
+
+
+def _expand_object_streams(
+        objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Unpack /Type /ObjStm members (PDF 1.5 compressed object streams):
+    the decoded stream holds ``num offset`` pairs then the object bodies
+    (dictionaries only, per spec) — each becomes a header-only entry so
+    fully-compressed page trees resolve.  Existing entries win."""
+    for onum, (hdr, data) in list(objects.items()):
+        if b"/ObjStm" not in hdr or not data:
+            continue
+        nm = _OBJSTM_N_RE.search(hdr)
+        fm = _OBJSTM_FIRST_RE.search(hdr)
+        if not nm or not fm:
+            continue
+        count, first = int(nm.group(1)), int(fm.group(1))
+        pairs_raw = data[:first].split()
+        if len(pairs_raw) < 2 * count:
+            continue
+        try:
+            nums = [int(pairs_raw[2 * i]) for i in range(count)]
+            offs = [int(pairs_raw[2 * i + 1]) for i in range(count)]
+        except ValueError:
+            continue
+        for i, (sub_num, off) in enumerate(zip(nums, offs)):
+            end = offs[i + 1] if i + 1 < count else len(data) - first
+            body = data[first + off : first + end]
+            if sub_num not in objects:
+                objects[sub_num] = (body, None)
 
 
 def _page_content_streams(payload: bytes,
@@ -142,8 +194,11 @@ def _page_content_streams(payload: bytes,
             if data:
                 streams.append(data)
     if not streams:  # last resort: every stream that contains BT
-        for _, (_hdr, data) in sorted(objects.items()):
-            if data and b"BT" in data:
+        for _, (hdr, data) in sorted(objects.items()):
+            if data and b"BT" in data and b"/XRef" not in hdr \
+                    and b"/ObjStm" not in hdr:
+                # xref/object streams are binary tables — a chance 'BT'
+                # byte pair must not be read as a content stream
                 streams.append(data)
     return streams
 

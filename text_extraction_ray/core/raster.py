@@ -1,0 +1,288 @@
+"""From-scratch raster codecs: BMP (uncompressed) and PNG (stdlib zlib).
+
+No image library exists in this environment (SURVEY SS0.3), so — like the
+PDF parser's Flate path — the decoders are written against the PUBLIC
+specs only:
+
+- BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB (uncompressed),
+  8-bpp palettized and 24-bpp truecolor, 4-byte row padding, bottom-up or
+  top-down row order.
+- PNG: W3C PNG spec / RFC 2083 — 8-bit greyscale (colour type 0) and
+  truecolor (colour type 2), non-interlaced, all five scanline filters
+  (None/Sub/Up/Average/Paeth), zlib-inflated IDAT, CRC-checked chunks.
+
+Both decoders return a GREYSCALE raster ``(width, height, bytes)`` —
+colour inputs are reduced with the integer ITU-R 601 luma
+``(299 r + 587 g + 114 b) // 1000`` so results are deterministic across
+platforms.  Encoders exist for fixtures and for the resize stage's
+re-encode path.  TOTAL-function discipline matches the rest of the engine:
+corrupt input raises ``ValueError`` (callers route it to an error column,
+never crash a batch).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --- BMP -------------------------------------------------------------------
+
+_BMP_FILE_HDR = struct.Struct("<2sIHHI")      # magic, size, res1, res2, offset
+_BMP_INFO_HDR = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER (40 bytes)
+
+
+def encode_bmp(width: int, height: int, gray: bytes) -> bytes:
+    """Minimal 24-bpp BI_RGB writer (grey written as r=g=b), bottom-up."""
+    if len(gray) != width * height:
+        raise ValueError("gray raster size != width*height")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):      # bottom-up row order
+        row = gray[y * width : (y + 1) * width]
+        for px in row:
+            body += bytes((px, px, px))      # B, G, R (equal for grey)
+        body += b"\x00" * pad
+    offset = _BMP_FILE_HDR.size + _BMP_INFO_HDR.size
+    info = _BMP_INFO_HDR.pack(40, width, height, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0)
+    head = _BMP_FILE_HDR.pack(b"BM", offset + len(body), 0, 0, offset)
+    return head + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, greyscale bytes) from an uncompressed BMP."""
+    if len(data) < _BMP_FILE_HDR.size + _BMP_INFO_HDR.size:
+        raise ValueError("bmp: truncated header")
+    magic, _fsize, _r1, _r2, offset = _BMP_FILE_HDR.unpack_from(data, 0)
+    if magic != b"BM":
+        raise ValueError("bmp: bad magic")
+    (hdr_size, width, height, _planes, bpp, compression,
+     _img_size, _xp, _yp, clr_used, _clr_imp) = _BMP_INFO_HDR.unpack_from(
+        data, _BMP_FILE_HDR.size)
+    if hdr_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER formats unsupported")
+    if compression != 0:
+        raise ValueError(f"bmp: compression {compression} unsupported")
+    if bpp not in (8, 24):
+        raise ValueError(f"bmp: {bpp}-bpp unsupported")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError("bmp: unreasonable dimensions")
+
+    palette = None
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = _BMP_FILE_HDR.size + hdr_size
+        pal = np.frombuffer(data, dtype=np.uint8,
+                            count=n_colors * 4, offset=pal_off
+                            ).reshape(n_colors, 4).astype(np.int32)
+        # palette entries are BGRX → integer luma per entry
+        palette = ((299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0])
+                   // 1000).astype(np.uint8)
+
+    bytes_per_px = bpp // 8
+    row_bytes = width * bytes_per_px
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = offset + stride * height
+    if len(data) < need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * height,
+                         offset=offset).reshape(height, stride)[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows.reshape(height, width, 3).astype(np.int32)  # B, G, R
+        gray = ((299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0])
+                // 1000).astype(np.uint8)
+    else:
+        gray = palette[rows]
+    return width, height, gray.tobytes()
+
+
+# --- PNG -------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(
+        ">I", crc)
+
+
+def encode_png(width: int, height: int, gray: bytes,
+               filter_type: int = 0) -> bytes:
+    """8-bit greyscale (colour type 0) writer; ``filter_type`` selects the
+    per-scanline filter (0-4) so tests can exercise every decode path."""
+    if len(gray) != width * height:
+        raise ValueError("gray raster size != width*height")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("png: filter must be 0..4")
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    raw = bytearray()
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        row = img[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:    # Sub: x - left
+            left = np.concatenate(([0], row[:-1].astype(np.int32)))
+            filt = ((row.astype(np.int32) - left) % 256).astype(np.uint8)
+        elif filter_type == 2:    # Up: x - above
+            filt = ((row.astype(np.int32) - prev.astype(np.int32)) % 256
+                    ).astype(np.uint8)
+        elif filter_type == 3:    # Average
+            left = np.concatenate(([0], row[:-1].astype(np.int32)))
+            filt = ((row.astype(np.int32)
+                     - (left + prev.astype(np.int32)) // 2) % 256
+                    ).astype(np.uint8)
+        else:                     # Paeth
+            left = np.concatenate(([0], row[:-1].astype(np.int32)))
+            up = prev.astype(np.int32)
+            ul = np.concatenate(([0], up[:-1]))
+            filt = ((row.astype(np.int32)
+                     - _paeth(left, up, ul)) % 256).astype(np.uint8)
+        raw.append(filter_type)
+        raw += filt.tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §6.6)."""
+    p = left + up - ul
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - ul)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                   np.where(pb <= pc, up, ul))
+    return out
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering → (height, width*bpp) uint8 matrix.
+    Filters 0/2 are fully vectorized; 1 uses a uint8 cumsum (mod-256
+    addition is exact under overflow); 3/4 need the left neighbour and run
+    a per-pixel-column loop across the vectorized row."""
+    stride = width * bpp + 1
+    if len(raw) < stride * height:
+        raise ValueError("png: truncated scanlines")
+    mat = np.frombuffer(raw, dtype=np.uint8, count=stride * height
+                        ).reshape(height, stride)
+    ftypes = mat[:, 0]
+    rows = mat[:, 1:].copy()
+    prev = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        f = ftypes[y]
+        row = rows[y]
+        if f == 0:
+            pass
+        elif f == 1:      # Sub: cumulative sum within each bpp lane
+            lanes = row.reshape(width, bpp)
+            np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
+        elif f == 2:      # Up
+            row += prev
+        elif f == 3:      # Average (left is sequential)
+            up = prev.astype(np.int32)
+            for x in range(len(row)):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + (left + int(up[x])) // 2) & 0xFF
+        elif f == 4:      # Paeth (left is sequential)
+            up = prev.astype(np.int32)
+            for x in range(len(row)):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                a, b, c = left, int(up[x]), ul
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter {f}")
+        prev = row
+    return rows
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, greyscale bytes) from an 8-bit non-interlaced PNG
+    (colour types 0 grey / 2 RGB)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("png: bad signature")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload))
+            if depth != 8:
+                raise ValueError(f"png: bit depth {depth} unsupported")
+            if color_type not in (0, 2):
+                raise ValueError(
+                    f"png: colour type {color_type} unsupported")
+            if comp != 0 or filt != 0:
+                raise ValueError("png: nonstandard compression/filter")
+            if interlace != 0:
+                raise ValueError("png: interlaced images unsupported")
+            if width * height > 1 << 26:
+                raise ValueError("png: unreasonable dimensions")
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if not idat:
+        raise ValueError("png: missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: bad IDAT stream ({exc})") from exc
+    bpp = 1 if color_type == 0 else 3
+    rows = _unfilter(raw, width, height, bpp)
+    if color_type == 0:
+        gray = rows
+    else:
+        px = rows.reshape(height, width, 3).astype(np.int32)  # R, G, B
+        gray = ((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2])
+                // 1000).astype(np.uint8)
+    return width, height, gray.tobytes()
+
+
+# --- shared helpers --------------------------------------------------------
+
+def sniff_raster(data: bytes) -> str | None:
+    """'image/bmp' | 'image/png' | None by magic bytes."""
+    if data.startswith(b"BM"):
+        return "image/bmp"
+    if data.startswith(_PNG_SIG):
+        return "image/png"
+    return None
+
+
+def resize_gray(width: int, height: int, gray: bytes,
+                new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbour resample, fully vectorized (numpy fancy index)."""
+    arr = np.frombuffer(gray, dtype=np.uint8, count=width * height
+                        ).reshape(height, width)
+    ys = (np.arange(new_h, dtype=np.int64) * height) // new_h
+    xs = (np.arange(new_w, dtype=np.int64) * width) // new_w
+    return arr[ys][:, xs].tobytes()

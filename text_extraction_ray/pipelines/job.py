@@ -118,21 +118,23 @@ def _iter_shard_tables(shard: str):
     the WET `text` column at the storage layer (it never leaves disk),
     WARC shards (Common Crawl's native format) parse record-streamed."""
     if shard.endswith((".warc", ".warc.gz")):
-        from ..sources.warc import parse_warc
+        from ..sources.warc import iter_warc_stream
 
+        # streaming gzip-member parse: memory stays ~record + 1 MiB chunk,
+        # never the whole shard — a 1 GB Common Crawl segment flows through
+        # in bounded space (round 2; was a whole-file read in round 1)
         with open(shard, "rb") as fh:
-            data = fh.read()
-        rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
-        for url, ts, body in parse_warc(data):
-            rows["url"].append(url)
-            rows["warc_ts"].append(ts)
-            rows["html"].append(body)
-            rows["lang"].append("")
-            if len(rows["url"]) >= _ROWGROUP_BATCH:
+            rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            for url, ts, body in iter_warc_stream(fh):
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["html"].append(body)
+                rows["lang"].append("")
+                if len(rows["url"]) >= _ROWGROUP_BATCH:
+                    yield _pages_chunk(rows)
+                    rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            if rows["url"]:
                 yield _pages_chunk(rows)
-                rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
-        if rows["url"]:
-            yield _pages_chunk(rows)
         return
     pf = pq.ParquetFile(shard)
     for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,
