@@ -62,11 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 37 of 51 queries.  Rows-only (approximate
+    names as the Ray results) — 40 of 54 queries.  Rows-only (approximate
     or inherently non-SQL): minhash/simhash (seeded permutation hashes),
     FNV fingerprint, ann_lsh/ann_ivf (approximate by construction),
     seeded sample, multimodal decode/resize/frame-sample, and the
-    extraction pipelines over the synthetic pages corpus."""
+    extraction pipelines over the synthetic pages corpus.  queries()
+    orders oracled entries FIRST so a driver-side cap can only truncate
+    rows-only checks."""
     from text_extraction_ray.pipelines.queries import oracle_sql as _o
 
     return _o()

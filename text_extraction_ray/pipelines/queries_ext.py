@@ -22,6 +22,10 @@ unless noted:
   stoplists, so the oracle can never drift)
 - rows-only: IVF ANN (approximate by construction) and the
   extract→embed→LSH-near-dup loop over the synthetic pages corpus
+- round 2: AS-OF join (key shuffle + ordered in-group forward-fill),
+  RANGE join (broadcast interval table + np.searchsorted — never a
+  shuffle), 7-day moving average (distributed daily reduce → driver
+  window scan with fresh per-window sums)
 """
 
 from __future__ import annotations
@@ -764,6 +768,153 @@ FROM documents d JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+# --- as-of join (round 2) ---------------------------------------------------
+
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF JOIN — the custom operator Ray Data lacks natively: each
+    'click' event joins the same user's most recent 'purchase' value at or
+    before it (ordering key (ts, event_id)).  Composition: filter to the
+    two event types at the read (shuffle carries only relevant rows) →
+    hash shuffle on user_id → vectorized ordered scan inside each group
+    (numpy lexsort + forward-fill of purchase indices).  PARTITIONING
+    ASSUMPTION: one user's stream fits one group — the same assumption as
+    user_sessions; a hot user would need time-bucketed sub-keys."""
+
+    def asof(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist())
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id")[0].as_py()
+        order = np.lexsort((eid, ts))
+        ts, eid, et, val = ts[order], eid[order], et[order], val[order]
+        pidx = np.where(et == "purchase", np.arange(len(et)), -1)
+        pidx = np.maximum.accumulate(pidx)          # last purchase so far
+        keep = (et == "click") & (pidx >= 0)
+        return pa.table({
+            "event_id": pa.array(eid[keep], type=pa.int64()),
+            "user_id": pa.array(
+                np.full(int(keep.sum()), uid, dtype=np.int64)),
+            "last_purchase_value": pa.array(
+                val[pidx[keep]], type=pa.float64()),
+        })
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        return b.filter(mask)
+
+    return (
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(pick, **_PYA)
+        .groupby("user_id")
+        .map_groups(asof, **_PYA)
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH u AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM events
+  WHERE event_type IN ('click', 'purchase'))
+SELECT event_id, user_id, last_purchase_value
+FROM u
+WHERE event_type = 'click' AND last_purchase_value IS NOT NULL
+"""
+
+
+# --- range join (round 2) ---------------------------------------------------
+
+_PRICE_BANDS = [("900-925", 900.0, 925.0), ("925-950", 925.0, 950.0),
+                ("950-975", 950.0, 975.0), ("975-1000", 975.0, 1000.0)]
+
+
+def q_part_price_band(sf_dir: str) -> ray.data.Dataset:
+    """RANGE JOIN: parts against a tiny non-overlapping interval table.
+    The band boundaries live in the closure (broadcast with the task,
+    constant-size); each batch resolves its interval with ONE
+    np.searchsorted — never a shuffle join, the scale path for interval
+    joins with a small sorted dimension side."""
+    names = np.asarray([b[0] for b in _PRICE_BANDS])
+    lows = np.asarray([b[1] for b in _PRICE_BANDS])
+
+    def band(b: pa.Table) -> pa.Table:
+        p = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows, p, side="right") - 1
+        return pa.table({
+            "band": pa.array(names[np.clip(idx, 0, len(names) - 1)]),
+            "p_retailprice": b.column("p_retailprice"),
+        })
+
+    agg = (
+        _read(sf_dir, "part", ["p_retailprice"])
+        .map_batches(band, **_PYA)
+        .groupby("band")
+        .aggregate(Count(alias_name="n_parts"),
+                   Sum("p_retailprice", alias_name="total_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"total_price": 2}),
+                           **_PYA)
+
+
+SQL_PART_PRICE_BAND = """
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(p_retailprice), 2) AS total_price
+FROM part
+JOIN (VALUES ('900-925', 900.0, 925.0), ('925-950', 925.0, 950.0),
+             ('950-975', 950.0, 975.0), ('975-1000', 975.0, 1000.0))
+     b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# --- windowed moving average (round 2) --------------------------------------
+
+def q_orders_moving_avg(sf_dir: str) -> pa.Table:
+    """7-day moving average of daily order revenue: the heavy reduction
+    (sum per day) is distributed; the window scan runs over the resulting
+    ~2 400 day rows on the driver with a FRESH sum per window (bit-stable,
+    no sliding-accumulator drift) — the events_cumulative split."""
+    daily = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(
+            lambda b: pa.table({
+                "day": pc.floor_temporal(b.column("o_orderdate"),
+                                         unit="day"),
+                "o_totalprice": b.column("o_totalprice"),
+            }), **_PYA)
+        .groupby("day")
+        .aggregate(Sum("o_totalprice", alias_name="total_price"))
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    daily["total_price"] = daily["total_price"].round(2)
+    totals = daily["total_price"].to_numpy()
+    avg = np.empty(len(totals))
+    for i in range(len(totals)):
+        w = totals[max(0, i - 6) : i + 1]
+        avg[i] = w.sum() / len(w)
+    daily["avg_7d"] = np.round(avg, 4)
+    return pa.Table.from_pandas(daily, preserve_index=False)
+
+
+SQL_ORDERS_MOVING_AVG = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         ROUND(SUM(o_totalprice), 2) AS total_price
+  FROM orders GROUP BY 1)
+SELECT day, total_price,
+       ROUND(AVG(total_price) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+FROM d
+"""
+
+
 def queries_ext() -> dict:
     return {
         "topn_per_lang": q_topn_per_lang,
@@ -785,6 +936,9 @@ def queries_ext() -> dict:
         "stratified_sample": q_stratified_sample,
         "events_pivot": q_events_pivot,
         "explode_tokens": q_explode_tokens,
+        "events_asof": q_events_asof,
+        "part_price_band": q_part_price_band,
+        "orders_moving_avg": q_orders_moving_avg,
     }
 
 
@@ -807,6 +961,9 @@ def oracle_sql_ext() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "events_pivot": SQL_EVENTS_PIVOT,
         "explode_tokens": SQL_EXPLODE_TOKENS,
+        "events_asof": SQL_EVENTS_ASOF,
+        "part_price_band": SQL_PART_PRICE_BAND,
+        "orders_moving_avg": SQL_ORDERS_MOVING_AVG,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
