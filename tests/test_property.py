@@ -222,3 +222,45 @@ def test_pdf_multipage_roundtrip_and_spans(pages):
     for (s, e), pt in zip(out["spans"], page_texts):
         assert (s, e) == (pos, pos + len(pt))
         pos = e + 2
+
+
+# --- raster codecs (round 2) ------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    filt=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_bmp_roundtrip_property(w, h, filt, seed):
+    """Any 8-bit grey raster survives encode→decode byte-exactly through
+    BOTH from-scratch codecs, for every PNG filter type."""
+    import numpy as np
+
+    from text_extraction_ray.core.raster import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    gray = np.random.RandomState(seed).randint(
+        0, 256, size=w * h, dtype=np.uint8).tobytes()
+    assert decode_png(encode_png(w, h, gray, filter_type=filt)) == (w, h, gray)
+    assert decode_bmp(encode_bmp(w, h, gray)) == (w, h, gray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_raster_decoders_total_on_garbage(data):
+    """Decoders are TOTAL: arbitrary bytes either decode or raise
+    ValueError — never crash with anything else (engine error-routing
+    contract)."""
+    from text_extraction_ray.core.raster import decode_bmp, decode_png
+
+    for dec in (decode_bmp, decode_png):
+        try:
+            dec(data)
+        except ValueError:
+            pass

@@ -92,17 +92,29 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       ngram: int = 5) -> pa.Table:
     """Adds fingerprint: min rolling FNV-1a hash over word n-grams
-    (winnowing-style document fingerprint; 0 for docs shorter than n)."""
-    fps = []
-    for t in batch.column(text_col).to_pylist():
+    (winnowing-style document fingerprint; 0 for docs shorter than n).
+    All n-grams of the batch hash in one vectorized FNV pass
+    (length-grouped byte matrices), min per doc via reduceat —
+    bit-identical to the round-1 scalar loop."""
+    import numpy as np
+
+    from .dedup import _fnv1a64_many, _signed64
+
+    texts = batch.column(text_col).to_pylist()
+    grams: list[bytes] = []
+    starts: list[int] = []        # docs with >= 1 n-gram only
+    doc_idx: list[int] = []
+    for d, t in enumerate(texts):
         words = (t or "").split()
         if len(words) < ngram:
-            fps.append(0)
             continue
-        best = _MASK64
-        for i in range(len(words) - ngram + 1):
-            h = fnv1a64(" ".join(words[i : i + ngram]).encode("utf-8"))
-            if h < best:
-                best = h
-        fps.append(best - (1 << 63))  # shift into signed int64 domain
+        starts.append(len(grams))
+        doc_idx.append(d)
+        grams.extend(" ".join(words[i : i + ngram]).encode("utf-8")
+                     for i in range(len(words) - ngram + 1))
+    fps = np.zeros(len(texts), dtype=np.int64)
+    if grams:
+        hs = _fnv1a64_many(grams)
+        mins = np.minimum.reduceat(hs, np.asarray(starts, dtype=np.int64))
+        fps[doc_idx] = _signed64(mins)
     return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
