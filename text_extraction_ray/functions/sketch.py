@@ -1,0 +1,156 @@
+"""Mergeable sketch operators — the 100 TB scale path for frequency and
+quantile questions (SURVEY SS2 custom-operator rule; round 2).
+
+- ``heavy_tokens``: exact heavy hitters by a two-pass sketch.  Pass 1 is a
+  per-batch frequent-items summary (exact within the batch, thresholded at
+  half the global ratio — the Misra-Gries guarantee by pigeonhole: any
+  token with global share >= 1/R must exceed n_batch/(2R) in at least one
+  batch, so the union of per-batch candidates is a SUPERSET of the true
+  heavy hitters).  Pass 2 re-counts ONLY the candidate tokens exactly and
+  applies the true threshold — so the final counts are EXACT and the
+  operator is SQL-oracle-able, while the shuffle never carries the full
+  token vocabulary (bounded by candidates x batches, not distinct tokens).
+- ``grouped_quantile_sketch``: per-group quantiles from a fixed log-spaced
+  histogram.  Each batch folds its values into (group, bin, n) partial
+  rows (np.searchsorted, vectorized); the groupby sums bins — the shuffle
+  carries at most groups x n_bins rows regardless of input size.  Error is
+  bounded by the bin ratio (~3% at 512 bins over 7 decades); the exact
+  per-group-sort quantile operator remains for when exactness matters.
+
+Both are deterministic (no RNG) and mergeable (partials sum), the two
+properties a sketch needs to ride Ray Data's map/combine machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+_TOKEN_RE = r"\S+"
+
+
+def _batch_token_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(unique tokens, counts) of a batch — exact, vectorized unique."""
+    toks: list[str] = []
+    for t in texts:
+        toks.extend((t or "").split())
+    if not toks:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+    return uniq, counts
+
+
+def heavy_tokens(sf_dir_ds: ray.data.Dataset, total_tokens: int,
+                 ratio: int = 200, text_col: str = "text"
+                 ) -> ray.data.Dataset:
+    """Tokens appearing >= ceil(total_tokens / ratio) times, with EXACT
+    counts.  ``total_tokens`` is the global \\S+ token count (computed by
+    the caller with one vectorized aggregate)."""
+    threshold = math.ceil(total_tokens / ratio)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        uniq, counts = _batch_token_counts(b.column(text_col).to_pylist())
+        n_batch = int(counts.sum())
+        # half-threshold per batch guarantees a candidate superset
+        keep = counts > n_batch / (2.0 * ratio)
+        return pa.table({"token": pa.array(uniq[keep], type=pa.string())})
+
+    cand = set(
+        sf_dir_ds.map_batches(candidates, batch_format="pyarrow")
+        .unique("token"))
+    cand_ref = ray.put(cand)
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        uniq, counts = _batch_token_counts(b.column(text_col).to_pylist())
+        keep = np.array([t in cset for t in uniq], dtype=bool)
+        return pa.table({
+            "token": pa.array(uniq[keep], type=pa.string()),
+            "n": pa.array(counts[keep], type=pa.int64()),
+        })
+
+    totals = (
+        sf_dir_ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return totals.filter(expr=f"n_occurrences >= {threshold}")
+
+
+def count_tokens(ds: ray.data.Dataset, text_col: str = "text") -> int:
+    """Global \\S+ token count with one vectorized aggregate."""
+    def n_tok(b: pa.Table) -> pa.Table:
+        n = pc.sum(pc.count_substring_regex(
+            b.column(text_col), _TOKEN_RE)).as_py() or 0
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    part = ds.map_batches(n_tok, batch_format="pyarrow")
+    return int(part.sum("n") or 0)
+
+
+# --- log-histogram quantile sketch -----------------------------------------
+
+_N_BINS = 512
+_LO, _HI = 1.0, 1e7  # covers doc lengths; values clamp into the edge bins
+_EDGES = np.geomspace(_LO, _HI, _N_BINS + 1)
+
+
+def grouped_quantile_sketch(ds: ray.data.Dataset, group_col: str,
+                            value_col: str,
+                            quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            ) -> pa.Table:
+    """Approximate per-group quantiles; shuffle carries at most
+    groups x n_bins (group, bin, n) rows.  Returns a driver-side Arrow
+    table (groups x quantiles is tiny by construction)."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        groups = np.asarray(b.column(group_col).to_pylist(), dtype=object)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bins = np.clip(np.searchsorted(_EDGES, vals, side="right") - 1,
+                       0, _N_BINS - 1)
+        uniq_g, g_idx = np.unique(groups, return_inverse=True)
+        key = g_idx * _N_BINS + bins
+        uniq_k, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            group_col: pa.array(uniq_g[uniq_k // _N_BINS], type=pa.string()),
+            "bin": pa.array((uniq_k % _N_BINS).astype(np.int32)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    hist = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # <= groups x _N_BINS rows — safe to collect
+
+    out_g, out_q, out_v = [], [], []
+    for g, sub in hist.groupby(group_col):
+        counts = np.zeros(_N_BINS, dtype=np.int64)
+        counts[sub["bin"].to_numpy()] = sub["n"].to_numpy()
+        cum = np.cumsum(counts)
+        total = cum[-1]
+        for q in quantiles:
+            target = q * total
+            b = int(np.searchsorted(cum, target, side="left"))
+            b = min(b, _N_BINS - 1)
+            # linear interpolation inside the bin
+            prev = cum[b - 1] if b > 0 else 0
+            frac = ((target - prev) / counts[b]) if counts[b] else 0.0
+            lo, hi = _EDGES[b], _EDGES[b + 1]
+            out_g.append(g)
+            out_q.append(q)
+            out_v.append(round(float(lo + frac * (hi - lo)), 4))
+    return pa.table({
+        group_col: pa.array(out_g, type=pa.string()),
+        "quantile": pa.array(out_q, type=pa.float64()),
+        "estimate": pa.array(out_v, type=pa.float64()),
+    })

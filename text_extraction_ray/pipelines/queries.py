@@ -50,8 +50,15 @@ _PYA = {"batch_format": "pyarrow"}
 
 
 def read_table(sf_dir: str, name: str,
-               columns: list[str] | None = None) -> ray.data.Dataset:
+               columns: list[str] | None = None,
+               row_filter=None) -> ray.data.Dataset:
+    """Pruned parquet read: ``columns`` prune at the storage layer;
+    ``row_filter`` (a pyarrow.dataset expression) pushes the predicate
+    into the scan so row groups whose statistics exclude it never leave
+    disk — 'prune at the read' for filter-first queries."""
     kwargs = {"columns": columns} if columns else {}
+    if row_filter is not None:
+        kwargs["filter"] = row_filter
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
 
@@ -97,15 +104,18 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     cutoff = _dt.datetime(1998, 9, 2)
 
     def prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
         disc_price = pc.multiply(
             b.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("disc_price", disc_price)
 
+    import pyarrow.dataset as pads
+
     li = read_table(sf_dir, "lineitem",
                     ["l_returnflag", "l_linestatus", "l_quantity",
-                     "l_extendedprice", "l_discount", "l_shipdate"])
+                     "l_extendedprice", "l_discount", "l_shipdate"],
+                    row_filter=(pads.field("l_shipdate")
+                                <= pa.scalar(cutoff)))
     agg = (
         li.map_batches(prep, **_PYA)
         .groupby(["l_returnflag", "l_linestatus"])
@@ -170,10 +180,11 @@ GROUP BY c_mktsegment
 
 
 def q_filter_project(sf_dir: str) -> ray.data.Dataset:
+    """Filter pushed INTO the parquet scan (row-group statistics prune
+    before bytes leave disk); the map only computes the projection."""
+    import pyarrow.dataset as pads
+
     def fn(b: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.greater(b.column("l_discount"), 0.05),
-                       pc.less(b.column("l_quantity"), 25.0))
-        b = b.filter(mask)
         revenue = pc.round(
             pc.multiply(b.column("l_extendedprice"), b.column("l_discount")),
             ndigits=4)
@@ -183,7 +194,10 @@ def q_filter_project(sf_dir: str) -> ray.data.Dataset:
     return read_table(
         sf_dir, "lineitem",
         ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-         "l_discount"]).map_batches(fn, **_PYA)
+         "l_discount"],
+        row_filter=((pads.field("l_discount") > 0.05)
+                    & (pads.field("l_quantity") < 25.0))
+    ).map_batches(fn, **_PYA)
 
 
 SQL_FILTER_PROJECT = """

@@ -25,7 +25,10 @@ unless noted:
 - round 2: AS-OF join (key shuffle + ordered in-group forward-fill),
   RANGE join (broadcast interval table + np.searchsorted — never a
   shuffle), 7-day moving average (distributed daily reduce → driver
-  window scan with fresh per-window sums)
+  window scan with fresh per-window sums), heavy hitters (two-pass
+  sketch with exact counts, oracled), per-group quantile histogram
+  sketch (rows-only, accuracy-tested vs the exact operator), parquet
+  predicate pushdown on the filter-first queries
 """
 
 from __future__ import annotations
@@ -54,11 +57,18 @@ def _round_cols(batch: pa.Table, spec: dict[str, int]) -> pa.Table:
     return batch
 
 
-def _read(sf_dir: str, name: str, columns: list[str]) -> ray.data.Dataset:
+def _read(sf_dir: str, name: str, columns: list[str],
+          row_filter=None) -> ray.data.Dataset:
     import os
 
+    kwargs = {"columns": columns}
+    if row_filter is not None:
+        # predicate pushed into the parquet scan: row groups whose stats
+        # exclude it never leave disk ('prune at the read'); the filter
+        # may reference columns outside the projection
+        kwargs["filter"] = row_filter
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+        os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
 
 
 # --- top-N per group (window analog) ---------------------------------------
@@ -133,12 +143,11 @@ def q_cust_no_bigorder(sf_dir: str) -> ray.data.Dataset:
     """Customers with NO high-value order, counted per market segment —
     Ray Data's native left_anti join (duplicate right keys are fine; no
     pre-distinct needed)."""
+    import pyarrow.dataset as pads
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    big = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .filter(expr=f"o_totalprice > {_BIG_ORDER}")
-        .select_columns(["o_custkey"])
-    )
+    big = _read(sf_dir, "orders", ["o_custkey"],
+                row_filter=(pads.field("o_totalprice") > _BIG_ORDER))
     missing = cust.join(big, join_type="left_anti", num_partitions=4,
                         on=("c_custkey",), right_on=("o_custkey",))
     return (
@@ -163,12 +172,11 @@ def q_cust_with_urgent(sf_dir: str) -> ray.data.Dataset:
     """Customers WITH at least one urgent order, per segment — native
     ``left_semi`` join (completes the join coverage: broadcast, shuffle
     inner, anti, semi)."""
+    import pyarrow.dataset as pads
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    urgent = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .filter(expr="o_orderpriority == '1-URGENT'")
-        .select_columns(["o_custkey"])
-    )
+    urgent = _read(sf_dir, "orders", ["o_custkey"],
+                   row_filter=(pads.field("o_orderpriority") == "1-URGENT"))
     hit = cust.join(urgent, join_type="left_semi", num_partitions=4,
                     on=("c_custkey",), right_on=("o_custkey",))
     return (
@@ -915,6 +923,38 @@ FROM d
 """
 
 
+# --- sketch operators (round 2) ---------------------------------------------
+
+def q_heavy_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Heavy hitters with EXACT counts via the two-pass sketch: per-batch
+    frequent-items candidates (superset guarantee), then exact re-count of
+    candidates only — the full token vocabulary never shuffles."""
+    from ..functions.sketch import count_tokens, heavy_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return heavy_tokens(docs, count_tokens(docs), ratio=200)
+
+
+SQL_HEAVY_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY token
+HAVING COUNT(*) >= (SELECT CEIL(COUNT(*) / 200.0) FROM toks)
+"""
+
+
+def q_length_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Approximate per-lang length quantiles from a mergeable log-spaced
+    histogram — the scale path beside the exact per-group-sort operator
+    (length_quantiles); error bounded by the ~3% bin ratio, verified
+    against the exact operator in pytest."""
+    from ..functions.sketch import grouped_quantile_sketch
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantile_sketch(docs, "lang", "n_chars")
+
+
 def queries_ext() -> dict:
     return {
         "topn_per_lang": q_topn_per_lang,
@@ -939,6 +979,8 @@ def queries_ext() -> dict:
         "events_asof": q_events_asof,
         "part_price_band": q_part_price_band,
         "orders_moving_avg": q_orders_moving_avg,
+        "heavy_tokens": q_heavy_tokens,
+        "length_quantiles_sketch": q_length_quantiles_sketch,
     }
 
 
@@ -964,6 +1006,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "events_asof": SQL_EVENTS_ASOF,
         "part_price_band": SQL_PART_PRICE_BAND,
         "orders_moving_avg": SQL_ORDERS_MOVING_AVG,
+        "heavy_tokens": SQL_HEAVY_TOKENS,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
