@@ -718,7 +718,20 @@ def queries() -> dict:
     base.update(queries_ext())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
-    ordered.update((k, v) for k, v in base.items() if k not in sql)
+    # rows-only queries ranked: extraction-surface pipelines first (their
+    # driver row is the only external record), then ops whose semantics a
+    # pytest already pins, then variants redundant with an oracled twin
+    # (ann_lsh/ann_ivf vs oracled ann_top10) — so a cap drops the most
+    # redundant checks last-to-first
+    priority = ["extract_pages", "explain_blocks", "html_tables",
+                "pdf_tables", "extract_embed_neardup", "minhash_dedup",
+                "simhash_dedup", "fingerprint", "sample_docs",
+                "length_quantiles_sketch", "multimodal_decode",
+                "media_resize", "video_frames", "ann_lsh", "ann_ivf"]
+    rank = {n: i for i, n in enumerate(priority)}
+    rows_only = [k for k in base if k not in sql]
+    rows_only.sort(key=lambda k: rank.get(k, len(priority)))
+    ordered.update((k, base[k]) for k in rows_only)
     return ordered
 
 

@@ -923,6 +923,50 @@ FROM d
 """
 
 
+# --- chained broadcast joins over the last uncovered tables -----------------
+
+def q_supplier_region(sf_dir: str) -> ray.data.Dataset:
+    """Suppliers per region: TWO chained broadcast attaches (supplier →
+    nation → region; both dimension sides are tiny and composed into ONE
+    lookup map driver-side, so the fact table is touched once and nothing
+    shuffles except the 5-row aggregate).  Covers the region + supplier
+    tables (J1 pattern, dimension-chain variant)."""
+    import os
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    # pre-compose nation→region driver-side: one attach, not two
+    n_keys = nation.column("n_nationkey").combine_chunks()
+    n_region = pa.array(
+        [rmap.get(k, "") for k in nation.column("n_regionkey").to_pylist()],
+        type=pa.string())
+    attach = broadcast_attach_factory(n_keys, n_region,
+                                      "s_nationkey", "r_name")
+    agg = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(attach, **_PYA)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Mean("s_acctbal", alias_name="avg_acctbal"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"avg_acctbal": 6}),
+                           **_PYA)
+
+
+SQL_SUPPLIER_REGION = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(AVG(s_acctbal), 6) AS avg_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --- sketch operators (round 2) ---------------------------------------------
 
 def q_heavy_tokens(sf_dir: str) -> ray.data.Dataset:
@@ -981,6 +1025,7 @@ def queries_ext() -> dict:
         "orders_moving_avg": q_orders_moving_avg,
         "heavy_tokens": q_heavy_tokens,
         "length_quantiles_sketch": q_length_quantiles_sketch,
+        "supplier_region": q_supplier_region,
     }
 
 
@@ -1007,6 +1052,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "part_price_band": SQL_PART_PRICE_BAND,
         "orders_moving_avg": SQL_ORDERS_MOVING_AVG,
         "heavy_tokens": SQL_HEAVY_TOKENS,
+        "supplier_region": SQL_SUPPLIER_REGION,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
