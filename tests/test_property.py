@@ -264,3 +264,52 @@ def test_raster_decoders_total_on_garbage(data):
             dec(data)
         except ValueError:
             pass
+
+
+# --- streaming WARC reader (round 2) ----------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    chunk=st.integers(min_value=16, max_value=4096),
+    n_recs=st.integers(min_value=0, max_value=10),
+    gz=st.booleans(),
+    cut_frac=st.one_of(st.none(), st.floats(min_value=0.05, max_value=0.99)),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_warc_stream_equals_whole_for_any_chunking(chunk, n_recs, gz,
+                                                   cut_frac, seed):
+    """iter_warc_stream must yield EXACTLY parse_warc(whole-buffer) for
+    any chunk size, record mix, gzip-member setting and truncation point —
+    the bounded-memory reader can never change results."""
+    import datetime as dtm
+    import io
+    import random
+
+    from text_extraction_ray.sources.warc import (
+        iter_warc_stream,
+        parse_warc,
+        write_warc,
+    )
+
+    rng = random.Random(seed)
+    ts0 = dtm.datetime(2024, 1, 1)
+    recs = []
+    for i in range(n_recs):
+        body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 3000)))
+        recs.append((f"https://h{i}.example/p %z\r{i}",
+                     ts0 + dtm.timedelta(seconds=i), body))
+    buf = io.BytesIO()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        path = f.name
+    write_warc(path, recs, gzip_members=gz)
+    data = open(path, "rb").read()
+    import os
+
+    os.unlink(path)
+    if cut_frac is not None:
+        data = data[: int(len(data) * cut_frac)]
+    whole = list(parse_warc(data))
+    stream = list(iter_warc_stream(io.BytesIO(data), chunk_size=chunk))
+    assert stream == whole
