@@ -58,3 +58,40 @@ def test_seeded_sample_deterministic(ray_session):
         "/root/testdata/sf0.001").take_all())
     assert a == b
     assert 10 < len(a) < 100
+
+
+def test_round2_stages_compose(ray_session):
+    """Config-driven media chain: synth → resize → decode via the builder
+    (the round-2 stages are first-class registry entries)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from text_extraction_ray.functions.multimodal import synth_media_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(12), type=pa.int64()),
+        "text": pa.array([""] * 12, type=pa.string()),
+    })
+    media = ray.data.from_arrow(synth_media_batch(tbl))
+    pipe = build_pipeline([
+        {"stage": "media_resize", "max_dim": 8, "concurrency": 1},
+        {"stage": "media_decode", "concurrency": 1},
+    ])
+    out = pipe(media).to_pandas()
+    assert len(out) == 12
+    assert out["decode_ok"].all()
+    assert (out["n_pixels"] <= 64).all()
+
+
+def test_round2_dedup_stage(ray_session):
+    import ray.data
+
+    pipe = build_pipeline([{"stage": "exact_dedup"}])
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "same text"},
+        {"doc_id": 2, "text": "same text"},
+        {"doc_id": 3, "text": "other"},
+    ])
+    kept = sorted(r["doc_id"] for r in pipe(ds).take_all())
+    assert kept == [1, 3]

@@ -87,5 +87,42 @@ def _register_builtins() -> None:
         lambda ds: ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
     register_stage("limit", lambda ds, n: ds.limit(n))
 
+    # round-2 stages: dedup families, LSH near-dup, multimodal actor pools
+    from ..functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from ..functions.multimodal import (
+        FakeImageResizer,
+        FakeMediaDecoder,
+        FrameSampler,
+    )
+    from ..functions.similarity import lsh_neardup_pairs
+
+    register_stage("exact_dedup", exact_dedup)
+    register_stage("minhash_pairs", minhash_lsh_pairs)
+    register_stage("simhash_pairs", simhash_pairs)
+    register_stage("lsh_neardup", lsh_neardup_pairs)
+    register_stage(
+        "media_decode",
+        lambda ds, concurrency=(1, 4), batch_size=16: ds.map_batches(
+            FakeMediaDecoder, concurrency=concurrency, batch_size=batch_size,
+            batch_format="pyarrow", zero_copy_batch=True))
+    register_stage(
+        "media_resize",
+        lambda ds, max_dim=16, concurrency=(1, 4), batch_size=16:
+        ds.map_batches(
+            FakeImageResizer, fn_constructor_args=(max_dim,),
+            concurrency=concurrency, batch_size=batch_size,
+            batch_format="pyarrow", zero_copy_batch=True))
+    register_stage(
+        "frame_sample",
+        lambda ds, stride=4, concurrency=(1, 4), batch_size=8:
+        ds.map_batches(
+            FrameSampler, fn_constructor_args=(stride,),
+            concurrency=concurrency, batch_size=batch_size,
+            batch_format="pyarrow", zero_copy_batch=True))
+
 
 _register_builtins()
