@@ -133,3 +133,53 @@ def test_dedup_and_report_postpass(corpus_dir, tmp_path, ray_session):
     assert {r["doc_type"] for r in rep["doc_types"]} >= {"html"}
     assert sum(r["n_docs"] for r in rep["doc_types"]) == len(raw_urls)
     assert rep["length_histogram"]
+
+
+def test_job_jsonl_output_matches_parquet(corpus_dir, tmp_path, ray_session):
+    """Round 2 S-coverage: the JSONL sink round-trips the OUT rows (url,
+    bytes, spans, timestamps) against the parquet run, and the jsonl job
+    resumes."""
+    from text_extraction_ray.pipelines.job import run_extraction_job
+
+    pdir, jdir = str(tmp_path / "pq_j"), str(tmp_path / "jsonl")
+    run_extraction_job(corpus_dir, pdir, concurrency=2)
+    summary = run_extraction_job(corpus_dir, jdir, concurrency=2,
+                                 output_format="jsonl")
+    assert summary["partitions_run"] == 4
+
+    def read_all_jsonl(root):
+        rows = []
+        for part in sorted(os.listdir(root)):
+            p = os.path.join(root, part, "data.jsonl")
+            if part.startswith("part=") and os.path.exists(p):
+                with open(p, encoding="utf-8") as fh:
+                    rows.extend(json.loads(line) for line in fh)
+        return rows
+
+    def read_all_pq(root):
+        parts = []
+        for part in sorted(os.listdir(root)):
+            p = os.path.join(root, part, "data.parquet")
+            if part.startswith("part=") and os.path.exists(p):
+                parts.append(pq.read_table(p))
+        return pa.concat_tables(parts)
+
+    jrows = read_all_jsonl(jdir)
+    t_pq = read_all_pq(pdir)
+    assert len(jrows) == t_pq.num_rows
+    assert [r["url"] for r in jrows] == t_pq.column("url").to_pylist()
+    assert ([r["extracted_text"] for r in jrows]
+            == t_pq.column("extracted_text").to_pylist())
+    # timestamps survive as full isoformat
+    import datetime as dtm
+
+    assert ([dtm.datetime.fromisoformat(r["warc_ts"]) for r in jrows]
+            == t_pq.column("warc_ts").to_pylist())
+    # spans survive as JSON structures
+    assert ([[[s["start"], s["end"]] for s in r["spans"]] for r in jrows]
+            == [[[d["start"], d["end"]] for d in row]
+                for row in t_pq.column("spans").to_pylist()])
+
+    again = run_extraction_job(corpus_dir, jdir, concurrency=2,
+                               output_format="jsonl")
+    assert again["partitions_run"] == 0 and again["partitions_skipped"] == 4

@@ -36,6 +36,7 @@ from ..state.checkpoint import (
     sha256_of_column,
     sum_counters,
     write_atomic_csv,
+    write_atomic_jsonl,
     write_atomic_parquet,
     write_manifest,
 )
@@ -48,7 +49,7 @@ class PartitionWorker:
 
     def __init__(self, output_dir: str, ckpt_dir: str,
                  output_format: str = "parquet") -> None:
-        if output_format not in ("parquet", "csv"):
+        if output_format not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"unsupported output_format {output_format!r}")
         self.output_dir = output_dir
         self.ckpt_dir = ckpt_dir
@@ -78,6 +79,10 @@ class PartitionWorker:
                 data_path = os.path.join(
                     partition_out_dir(self.output_dir, pid), "data.csv")
                 write_atomic_csv(out, data_path)
+            elif self.output_format == "jsonl":
+                data_path = os.path.join(
+                    partition_out_dir(self.output_dir, pid), "data.jsonl")
+                write_atomic_jsonl(out, data_path)
             else:
                 data_path = os.path.join(
                     partition_out_dir(self.output_dir, pid), "data.parquet")

@@ -31,9 +31,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="extraction actor count (default: CPUs/2)")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing manifests and recompute everything")
-    ap.add_argument("--format", choices=("parquet", "csv"), default="parquet",
+    ap.add_argument("--format", choices=("parquet", "csv", "jsonl"),
+                    default="parquet",
                     help="partition output format (csv echoes the "
-                         "reference's CSV output; spans JSON-encoded)")
+                         "reference's CSV output, spans JSON-encoded; "
+                         "jsonl mirrors the JSONL source shape)")
     ap.add_argument("--dedup", action="store_true",
                     help="post-pass: keep-latest-per-url dedup of the "
                          "output into <output>/dedup/ (parquet only)")

@@ -70,6 +70,31 @@ def write_atomic_csv(table: pa.Table, final_path: str) -> str:
     return final_path
 
 
+def write_atomic_jsonl(table: pa.Table, final_path: str) -> str:
+    """JSON-lines sink variant (symmetric with sources/jsonl.py): one
+    object per row, timestamps as full isoformat, nested columns (spans)
+    as plain JSON; same tmp+rename atomicity as parquet/CSV."""
+    import json
+
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + ".tmp"
+    cols = table.to_pydict()
+    names = table.schema.names
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for i in range(table.num_rows):
+            row = {}
+            for name in names:
+                v = cols[name][i]
+                if hasattr(v, "isoformat"):
+                    v = v.isoformat()
+                row[name] = v
+            fh.write(json.dumps(row, ensure_ascii=False) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final_path)
+    return final_path
+
+
 def sha256_of_column(table: pa.Table, column: str) -> str:
     """Order-dependent digest over a string column (rows pre-sorted by url)."""
     h = hashlib.sha256()
@@ -133,7 +158,8 @@ def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
     if m.get("output_format", "parquet") != output_format:
         return False  # format changed → recompute in the new format
     pdir = partition_out_dir(output_dir, pid)
-    fname = "data.csv" if output_format == "csv" else "data.parquet"
+    fname = {"csv": "data.csv", "jsonl": "data.jsonl"}.get(
+        output_format, "data.parquet")
     return os.path.exists(os.path.join(pdir, fname))
 
 
