@@ -48,24 +48,34 @@ def _batch_token_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return uniq, counts
 
 
-def heavy_tokens(sf_dir_ds: ray.data.Dataset, total_tokens: int,
+def heavy_tokens(ds: ray.data.Dataset, total_tokens: int | None = None,
                  ratio: int = 200, text_col: str = "text"
                  ) -> ray.data.Dataset:
     """Tokens appearing >= ceil(total_tokens / ratio) times, with EXACT
-    counts.  ``total_tokens`` is the global \\S+ token count (computed by
-    the caller with one vectorized aggregate)."""
-    threshold = math.ceil(total_tokens / ratio)
+    counts.  When ``total_tokens`` is None (the default) the candidate
+    pass also carries per-batch token totals, so the WHOLE operator costs
+    exactly two text scans: candidates+totals, then exact re-count."""
 
     def candidates(b: pa.Table) -> pa.Table:
         uniq, counts = _batch_token_counts(b.column(text_col).to_pylist())
         n_batch = int(counts.sum())
         # half-threshold per batch guarantees a candidate superset
         keep = counts > n_batch / (2.0 * ratio)
-        return pa.table({"token": pa.array(uniq[keep], type=pa.string())})
+        toks = uniq[keep].tolist()
+        return pa.table({
+            # one extra null-token row per batch carries the batch total;
+            # the summary stays tiny (candidates are bounded per batch)
+            "token": pa.array(toks + [None], type=pa.string()),
+            "n_batch": pa.array([0] * len(toks) + [n_batch],
+                                type=pa.int64()),
+        })
 
-    cand = set(
-        sf_dir_ds.map_batches(candidates, batch_format="pyarrow")
-        .unique("token"))
+    summary = ds.map_batches(
+        candidates, batch_format="pyarrow").materialize()  # SMALL table
+    cand = set(t for t in summary.unique("token") if t is not None)
+    if total_tokens is None:
+        total_tokens = int(summary.sum("n_batch") or 0)
+    threshold = math.ceil(total_tokens / ratio)
     cand_ref = ray.put(cand)
 
     def exact_counts(b: pa.Table) -> pa.Table:
@@ -78,7 +88,7 @@ def heavy_tokens(sf_dir_ds: ray.data.Dataset, total_tokens: int,
         })
 
     totals = (
-        sf_dir_ds.map_batches(exact_counts, batch_format="pyarrow")
+        ds.map_batches(exact_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )

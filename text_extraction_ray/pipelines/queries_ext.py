@@ -971,12 +971,13 @@ GROUP BY r_name
 
 def q_heavy_tokens(sf_dir: str) -> ray.data.Dataset:
     """Heavy hitters with EXACT counts via the two-pass sketch: per-batch
-    frequent-items candidates (superset guarantee), then exact re-count of
-    candidates only — the full token vocabulary never shuffles."""
-    from ..functions.sketch import count_tokens, heavy_tokens
+    frequent-items candidates + batch totals in ONE scan (superset
+    guarantee), then exact re-count of candidates only — two text scans
+    total, and the full token vocabulary never shuffles."""
+    from ..functions.sketch import heavy_tokens
 
     docs = _read(sf_dir, "documents", ["text"])
-    return heavy_tokens(docs, count_tokens(docs), ratio=200)
+    return heavy_tokens(docs, ratio=200)
 
 
 SQL_HEAVY_TOKENS = r"""
