@@ -87,3 +87,34 @@ def test_quantile_sketch_deterministic(ray_session):
     a = q_length_quantiles_sketch(SF_DIR).to_pandas()
     b = q_length_quantiles_sketch(SF_DIR).to_pandas()
     assert a.equals(b)
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL estimate within 5% of the exact distinct count on events, and
+    on synthetic sets spanning two orders of magnitude."""
+    from text_extraction_ray.functions.sketch import approx_distinct
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                                   columns=["user_id"])
+    exact = events.unique("user_id")
+    est = approx_distinct(events, "user_id")
+    assert abs(est - len(exact)) / len(exact) < 0.05
+
+    for n in (100, 5000, 50000):
+        ds = ray.data.from_items(
+            [{"v": i * 7919 + 13} for i in range(n)],
+            override_num_blocks=8)
+        est = approx_distinct(ds, "v")
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_deterministic_and_merge_invariant(ray_session):
+    """Same data, different block structure → identical estimate (the
+    register merge is order/partition independent)."""
+    from text_extraction_ray.functions.sketch import approx_distinct
+
+    items = [{"v": i} for i in range(4000)]
+    a = approx_distinct(ray.data.from_items(items, override_num_blocks=2), "v")
+    b = approx_distinct(ray.data.from_items(items[::-1],
+                                            override_num_blocks=16), "v")
+    assert a == b

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 _TOKEN_RE = r"\S+"
 
@@ -104,6 +104,73 @@ def count_tokens(ds: ray.data.Dataset, text_col: str = "text") -> int:
 
     part = ds.map_batches(n_tok, batch_format="pyarrow")
     return int(part.sum("n") or 0)
+
+
+# --- HyperLogLog approximate distinct count --------------------------------
+
+_HLL_P = 12                      # 2^12 registers → ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_registers(values: np.ndarray) -> np.ndarray:
+    """Register maxima for one batch of int64 hashes — fully vectorized
+    (np.maximum.at scatter)."""
+    h = values.view(np.uint64) if values.dtype == np.int64 else values
+    # avalanche: splitmix64 finalizer so sequential ids spread uniformly
+    h = h.astype(np.uint64).copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # rank = leading zeros of the remaining 64-P bits, +1
+    lz = np.zeros(len(h), dtype=np.int64)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    rank = np.minimum(lz + 1, 64 - _HLL_P + 1)
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction — deterministic, no bias-table magic."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str) -> int:
+    """HLL distinct count: each batch folds its values into 2^{p} register
+    maxima and ships ONE (register, rank) table (<= 4096 rows); registers
+    merge by max — the shuffle is constant-size at any input scale."""
+    def fold(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = _hll_registers(vals)
+        nz = np.nonzero(regs)[0]
+        return pa.table({
+            "reg": pa.array(nz.astype(np.int32)),
+            "rank": pa.array(regs[nz]),
+        })
+
+    merged = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+    ).to_pandas()  # <= 4096 rows
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    regs[merged["reg"].to_numpy()] = merged["rank"].to_numpy()
+    return int(round(_hll_estimate(regs)))
 
 
 # --- log-histogram quantile sketch -----------------------------------------

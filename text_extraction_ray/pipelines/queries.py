@@ -726,7 +726,8 @@ def queries() -> dict:
     priority = ["extract_pages", "explain_blocks", "html_tables",
                 "pdf_tables", "extract_embed_neardup", "minhash_dedup",
                 "simhash_dedup", "fingerprint", "sample_docs",
-                "length_quantiles_sketch", "multimodal_decode",
+                "length_quantiles_sketch", "distinct_users_hll",
+                "multimodal_decode",
                 "media_resize", "video_frames", "ann_lsh", "ann_ivf"]
     rank = {n: i for i, n in enumerate(priority)}
     rows_only = [k for k in base if k not in sql]

@@ -989,6 +989,17 @@ HAVING COUNT(*) >= (SELECT CEIL(COUNT(*) / 200.0) FROM toks)
 """
 
 
+def q_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """Approximate distinct users via HyperLogLog (2^12 registers, ~1.6%
+    std error): per-batch register folds, a constant-size (<=4096 row)
+    merge shuffle — the scale path beside the exact map-side-unique
+    operator (distinct_users, oracled)."""
+    from ..functions.sketch import approx_distinct
+
+    n = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"n_users_approx": pa.array([n], type=pa.int64())})
+
+
 def q_length_quantiles_sketch(sf_dir: str) -> pa.Table:
     """Approximate per-lang length quantiles from a mergeable log-spaced
     histogram — the scale path beside the exact per-group-sort operator
@@ -1026,6 +1037,7 @@ def queries_ext() -> dict:
         "orders_moving_avg": q_orders_moving_avg,
         "heavy_tokens": q_heavy_tokens,
         "length_quantiles_sketch": q_length_quantiles_sketch,
+        "distinct_users_hll": q_distinct_users_hll,
         "supplier_region": q_supplier_region,
     }
 
