@@ -118,3 +118,19 @@ def test_hll_deterministic_and_merge_invariant(ray_session):
     b = approx_distinct(ray.data.from_items(items[::-1],
                                             override_num_blocks=16), "v")
     assert a == b
+
+
+def test_hll_string_column(ray_session):
+    from text_extraction_ray.functions.sketch import approx_distinct
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["source"])
+    exact = len(docs.unique("source"))
+    est = approx_distinct(docs, "source")
+    assert abs(est - exact) <= max(1, 0.05 * exact)
+
+    n = 3000
+    ds = ray.data.from_items([{"s": f"url-{i}/page"} for i in range(n)],
+                             override_num_blocks=6)
+    est = approx_distinct(ds, "s")
+    assert abs(est - n) / n < 0.05

@@ -155,7 +155,15 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> int:
     maxima and ships ONE (register, rank) table (<= 4096 rows); registers
     merge by max — the shuffle is constant-size at any input scale."""
     def fold(b: pa.Table) -> pa.Table:
-        vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        column = b.column(col)
+        if pa.types.is_integer(column.type):
+            vals = column.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # strings/binary: vectorized FNV over length-grouped bytes
+            from .dedup import _fnv1a64_many
+
+            vals = _fnv1a64_many([
+                (v if isinstance(v, bytes) else str(v).encode("utf-8"))
+                for v in column.to_pylist()]).view(np.int64)
         regs = _hll_registers(vals)
         nz = np.nonzero(regs)[0]
         return pa.table({
