@@ -358,6 +358,46 @@ def _jaccard_pairs_in_group(group: pa.Table, id_col: str, text_col: str,
     )
 
 
+def neardup_clusters(pairs: ray.data.Dataset, id_a: str = "id_a",
+                     id_b: str = "id_b") -> pa.Table:
+    """Near-dup PAIRS → CLUSTERS (the step that turns pair detection into
+    a usable keep/drop list): union-find over the pair set, cluster id =
+    smallest member id.  Returns (doc_id, cluster_id) for every doc that
+    appears in a pair; docs absent from the table are singletons.
+
+    SCALE NOTE: the pair set is the BOUNDED output of the banded/bucketed
+    LSH operators (capped buckets, threshold-filtered), orders of
+    magnitude smaller than the corpus, so the union-find runs driver-side
+    on a few columns of ids.  If pairs ever exceeded driver memory the
+    same result is reachable with iterative min-label propagation
+    (groupby-min per round) — documented trade, not needed at this size.
+    """
+    tbl = (pairs.select_columns([id_a, id_b])
+           .to_pandas())  # bounded by construction (see docstring)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(tbl[id_a], tbl[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by value: smaller id becomes the root → cluster_id is
+            # deterministically the minimum member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(set(tbl[id_a]) | set(tbl[id_b]))
+    return pa.table({
+        "doc_id": pa.array(members),
+        "cluster_id": pa.array([find(m) for m in members]),
+    })
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, key_col: str = "source",
                         id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.2) -> ray.data.Dataset:

@@ -62,3 +62,55 @@ def salted_count_sum(ds: ray.data.Dataset, key_col: str, value_col: str,
                    Sum("pc_s", alias_name=f"sum_{value_col}"))
     )
     return final
+
+
+def adaptive_salted_count_sum(ds: ray.data.Dataset, key_col: str,
+                              value_col: str, n_salts: int = DEFAULT_SALTS,
+                              sample_rows: int = 50_000,
+                              hot_share: float = 0.05) -> ray.data.Dataset:
+    """Skew-AWARE variant (round 2): detect hot keys from a bounded sample
+    first, then salt ONLY those — cold keys take the normal one-shuffle
+    path with no phase-2 overhead, hot keys spread across n_salts reducers.
+
+      detect   driver-side key frequencies over <= sample_rows rows
+               (bounded take, never the full input); hot = share >= hot_share
+      phase 1  salt appended only where key ∈ hot (broadcast set);
+               groupby (key, salt) partials
+      phase 2  groupby key over the partial table (n_keys x n_salts rows)
+
+    Results are exactly the plain groupby's (same associativity argument
+    as salted_count_sum); the sample only influences WHICH keys get
+    spread, never the numbers."""
+    import ray
+
+    sample = ds.limit(sample_rows).take_batch(sample_rows,
+                                              batch_format="pyarrow")
+    keys = sample.column(key_col).to_pylist()
+    n = max(len(keys), 1)
+    freq: dict = {}
+    for k in keys:
+        freq[k] = freq.get(k, 0) + 1
+    hot = {k for k, c in freq.items() if c / n >= hot_share}
+    hot_ref = ray.put(hot)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        hset = ray.get(hot_ref)
+        col = b.column(key_col)
+        is_hot = pc.is_in(col, value_set=pa.array(list(hset),
+                                                  type=col.type))
+        rr = pa.array([i % n_salts for i in range(b.num_rows)],
+                      type=pa.int8())
+        salt = pc.if_else(is_hot, rr, pa.scalar(0, pa.int8()))
+        return b.append_column("salt", salt)
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key_col, "salt"])
+        .aggregate(Count(alias_name="pc_n"),
+                   Sum(value_col, alias_name="pc_s"))
+    )
+    return (
+        partial.groupby(key_col)
+        .aggregate(Sum("pc_n", alias_name="n_rows"),
+                   Sum("pc_s", alias_name=f"sum_{value_col}"))
+    )

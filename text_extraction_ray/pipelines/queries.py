@@ -724,8 +724,9 @@ def queries() -> dict:
     # (ann_lsh/ann_ivf vs oracled ann_top10) — so a cap drops the most
     # redundant checks last-to-first
     priority = ["extract_pages", "explain_blocks", "html_tables",
-                "pdf_tables", "extract_embed_neardup", "minhash_dedup",
-                "simhash_dedup", "fingerprint", "sample_docs",
+                "pdf_tables", "extract_embed_neardup", "neardup_clusters",
+                "minhash_dedup", "simhash_dedup", "fingerprint",
+                "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
                 "multimodal_decode",
                 "media_resize", "video_frames", "ann_lsh", "ann_ivf"]

@@ -923,6 +923,55 @@ FROM d
 """
 
 
+# --- bloom-prefiltered semi-join / adaptive salting / pair clusters ---------
+
+def q_cust_with_urgent_bloom(sf_dir: str) -> ray.data.Dataset:
+    """cust_with_urgent with a BLOOM PREFILTER on the probe side: the
+    urgent-order keys fold into a 128 KiB bitmap (distributed build, OR
+    merge), broadcast once, and customers that definitely have no urgent
+    order drop BEFORE the shuffle join.  False positives pass through to
+    the exact left_semi join, so the result — and the oracle — are
+    identical to the unfiltered variant."""
+    import pyarrow.dataset as pads
+
+    from ..functions.bloom import bloom_prefilter, build_bloom
+
+    urgent = _read(sf_dir, "orders", ["o_custkey"],
+                   row_filter=(pads.field("o_orderpriority") == "1-URGENT"))
+    bloom = build_bloom(urgent, "o_custkey")
+    cust = bloom_prefilter(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey", bloom)
+    hit = cust.join(urgent, join_type="left_semi", num_partitions=4,
+                    on=("c_custkey",), right_on=("o_custkey",))
+    return (
+        hit.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def q_events_adaptive_sum(sf_dir: str) -> ray.data.Dataset:
+    """Skew-aware aggregation: hot keys detected from a bounded sample,
+    only those salted — identical numbers to the plain groupby (same
+    oracle as the always-salt variant)."""
+    from ..functions.skew import adaptive_salted_count_sum
+
+    out = adaptive_salted_count_sum(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key_col="event_type", value_col="value")
+    return out.map_batches(lambda b: _round_cols(b, {"sum_value": 2}), **_PYA)
+
+
+def q_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Pairs → clusters (the keep/drop list): union-find over the oracled
+    embed_neardup pair set, cluster id = smallest member.  Rows-only (the
+    pair set itself is the oracled artifact)."""
+    from ..functions.dedup import neardup_clusters
+    from .queries import q_embed_neardup
+
+    return neardup_clusters(q_embed_neardup(sf_dir))
+
+
 # --- chained broadcast joins over the last uncovered tables -----------------
 
 def q_supplier_region(sf_dir: str) -> ray.data.Dataset:
@@ -1039,6 +1088,9 @@ def queries_ext() -> dict:
         "length_quantiles_sketch": q_length_quantiles_sketch,
         "distinct_users_hll": q_distinct_users_hll,
         "supplier_region": q_supplier_region,
+        "cust_with_urgent_bloom": q_cust_with_urgent_bloom,
+        "events_adaptive_sum": q_events_adaptive_sum,
+        "neardup_clusters": q_neardup_clusters,
     }
 
 
@@ -1066,6 +1118,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "orders_moving_avg": SQL_ORDERS_MOVING_AVG,
         "heavy_tokens": SQL_HEAVY_TOKENS,
         "supplier_region": SQL_SUPPLIER_REGION,
+        "cust_with_urgent_bloom": SQL_CUST_WITH_URGENT,
+        "events_adaptive_sum": SQL_EVENTS_SALTED_SUM,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
