@@ -923,6 +923,67 @@ FROM d
 """
 
 
+# --- scalar-function parity: weekday buckets, unicode NFC -------------------
+
+def q_orders_weekday(sf_dir: str) -> ray.data.Dataset:
+    """Orders per weekday (Arrow day_of_week: 0=Monday) — temporal scalar
+    parity; the SQL twin shifts DuckDB's Sunday-0 convention to match."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "weekday": pc.cast(pc.day_of_week(b.column("o_orderdate")),
+                               pa.int64()),
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    agg = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(prep, **_PYA)
+        .groupby("weekday")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+    return agg.map_batches(lambda b: _round_cols(b, {"total_price": 2}),
+                           **_PYA)
+
+
+SQL_ORDERS_WEEKDAY = """
+SELECT CAST((dayofweek(o_orderdate) + 6) % 7 AS BIGINT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_docs_nfc(sf_dir: str) -> ray.data.Dataset:
+    """Unicode NFC normalization parity (mojibake-adjacent hygiene every
+    text pipeline needs): per-doc NFC'd length + changed flag; Python
+    unicodedata and DuckDB nfc_normalize implement the same standard."""
+    import unicodedata
+
+    def nfc(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        norm = [unicodedata.normalize("NFC", t or "") for t in texts]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars_nfc": pa.array([len(t) for t in norm],
+                                    type=pa.int64()),
+            "changed": pa.array([n != (t or "")
+                                 for n, t in zip(norm, texts)],
+                                type=pa.bool_()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(nfc, **_PYA))
+
+
+SQL_DOCS_NFC = """
+SELECT doc_id,
+       CAST(LENGTH(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       nfc_normalize(text) <> text AS changed
+FROM documents
+"""
+
+
 # --- bloom-prefiltered semi-join / adaptive salting / pair clusters ---------
 
 def q_cust_with_urgent_bloom(sf_dir: str) -> ray.data.Dataset:
@@ -1091,6 +1152,8 @@ def queries_ext() -> dict:
         "cust_with_urgent_bloom": q_cust_with_urgent_bloom,
         "events_adaptive_sum": q_events_adaptive_sum,
         "neardup_clusters": q_neardup_clusters,
+        "orders_weekday": q_orders_weekday,
+        "docs_nfc": q_docs_nfc,
     }
 
 
@@ -1120,6 +1183,8 @@ def oracle_sql_ext() -> dict[str, str]:
         "supplier_region": SQL_SUPPLIER_REGION,
         "cust_with_urgent_bloom": SQL_CUST_WITH_URGENT,
         "events_adaptive_sum": SQL_EVENTS_SALTED_SUM,
+        "orders_weekday": SQL_ORDERS_WEEKDAY,
+        "docs_nfc": SQL_DOCS_NFC,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
