@@ -57,3 +57,24 @@ def test_simhash_hamming_small_for_near_dup():
     assert ham(a, simhash64(far)) >= 20
     assert simhash64("") == 0
     assert simhash64(BASE) == a  # deterministic
+
+
+def test_minhash_lean_identical(ray_session):
+    """The lean (ids-only shuffle + candidate re-sign) variant produces
+    EXACTLY the sig-carrying variant's pair set and estimates."""
+    import ray.data
+
+    from text_extraction_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_lean,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                               columns=["doc_id", "text"])
+    old = minhash_lsh_pairs(ds).to_pandas()
+    ds2 = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                                columns=["doc_id", "text"])
+    new = minhash_lsh_pairs_lean(ds2).to_pandas()
+    o = set(zip(old["doc_a"], old["doc_b"], old["est_jaccard"]))
+    n = set(zip(new["doc_a"], new["doc_b"], new["est_jaccard"]))
+    assert o == n and len(n) > 0

@@ -214,6 +214,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     shingle → minhash → band → bucket groupby → per-bucket pairs →
     pair-level dedup (max est across bands) → threshold filter.
+
+    NOTE: band rows carry the full 512 B signature (×BANDS per doc) so
+    similarity is estimable in-bucket without a second pass — simple, but
+    the shuffle is ~8.5 KB/doc.  ``minhash_lsh_pairs_lean`` produces the
+    IDENTICAL result with a ~20 B/doc shuffle (the 100 TB path).
     """
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, id_col, text_col),
@@ -223,6 +228,112 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     uniq = pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
     uniq = uniq.rename_columns({"max(est_jaccard)": "est_jaccard"})
     return uniq.filter(expr=f"est_jaccard >= {threshold}")
+
+
+def _band_rows_lean(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, band, bucket) rows WITHOUT the signature payload."""
+    full = minhash_band_rows(batch, id_col, text_col)
+    return full.drop_columns(["sig"])
+
+
+def _candidate_pairs_from_bucket(group: pa.Table) -> pa.Table:
+    """Per-bucket candidate (doc_a, doc_b) pairs — ids only, with EXACTLY
+    the same stable-sort + MAX_BUCKET truncation as _pairs_from_bucket so
+    the lean variant's candidate set is identical."""
+    ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    if len(order) > MAX_BUCKET:
+        _log_bucket_truncation("minhash_pairs", len(order))
+        order = order[:MAX_BUCKET]
+    m = len(order)
+    if m >= 2:
+        sid = ids[order]
+        ai, bi = np.triu_indices(m, 1)
+        keep = sid[ai] != sid[bi]
+        da = np.minimum(sid[ai][keep], sid[bi][keep])
+        db = np.maximum(sid[ai][keep], sid[bi][keep])
+    else:
+        da = db = np.array([], dtype=np.int64)
+    return pa.table({
+        "doc_a": pa.array(da, type=pa.int64()),
+        "doc_b": pa.array(db, type=pa.int64()),
+    })
+
+
+_LEAN_CANDIDATE_CAP = 2_000_000  # driver-side pair budget; log + truncate
+
+
+def minhash_lsh_pairs_lean(ds: ray.data.Dataset, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.5) -> pa.Table:
+    """IDENTICAL output to ``minhash_lsh_pairs`` with ~400× less shuffle:
+
+      pass 1  band rows carry (id, band, bucket) ONLY (~20 B/doc vs
+              ~8.5 KB/doc) → bucket groupby → candidate id pairs →
+              distributed pair dedup
+      pass 2  signatures are RECOMPUTED for candidate docs only (broadcast
+              id set, one more scan of the text column — at 100 TB a
+              second read beats shipping 512 B × BANDS per doc through
+              the object store by orders of magnitude)
+      final   est_jaccard per candidate pair, vectorized driver-side
+              (candidates are bounded by the per-bucket caps; budget
+              logged + truncated at {cap:,} pairs — beyond that, swap the
+              driver step for two distributed hash joins on doc_a/doc_b,
+              same semantics)
+
+    Returns a driver-side Arrow table (the pair set is small by
+    construction).""".format(cap=_LEAN_CANDIDATE_CAP)
+    bands = ds.map_batches(
+        lambda b: _band_rows_lean(b, id_col, text_col),
+        batch_format="pyarrow")
+    cand = (
+        bands.groupby(["band", "bucket"])
+        .map_groups(_candidate_pairs_from_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"]).count()
+    ).to_pandas()
+    if len(cand) > _LEAN_CANDIDATE_CAP:
+        print(f"[dedup] minhash_lean: {len(cand)} candidate pairs > "
+              f"budget {_LEAN_CANDIDATE_CAP}; truncating (use the "
+              f"distributed-join variant beyond this)", file=sys.stderr)
+        cand = cand.sort_values(["doc_a", "doc_b"]).iloc[:_LEAN_CANDIDATE_CAP]
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    need_ref = ray.put(need)
+
+    def sigs_for_candidates(b: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        mask = np.array([i in wanted for i in ids], dtype=bool)
+        if not mask.any():
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.binary()),
+            })
+        texts = [t for t, m in zip(b.column(text_col).to_pylist(), mask) if m]
+        sigs = minhash_sig_batch(texts)
+        return pa.table({
+            "doc_id": pa.array(ids[mask]),
+            "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary()),
+        })
+
+    sig_tbl = (ds.map_batches(sigs_for_candidates, batch_format="pyarrow")
+               .to_pandas())
+    sig_map = dict(zip(sig_tbl["doc_id"], sig_tbl["sig"]))
+    if len(cand):
+        sa = np.frombuffer(
+            b"".join(sig_map[a] for a in cand["doc_a"]), dtype=np.uint64
+        ).reshape(len(cand), NUM_PERM)
+        sb = np.frombuffer(
+            b"".join(sig_map[b_] for b_ in cand["doc_b"]), dtype=np.uint64
+        ).reshape(len(cand), NUM_PERM)
+        est = (sa == sb).mean(axis=1)
+    else:
+        est = np.array([], dtype=np.float64)
+    keep = est >= threshold
+    return pa.table({
+        "doc_a": pa.array(cand["doc_a"].to_numpy()[keep], type=pa.int64()),
+        "doc_b": pa.array(cand["doc_b"].to_numpy()[keep], type=pa.int64()),
+        "est_jaccard": pa.array(est[keep], type=pa.float64()),
+    })
 
 
 # --- SimHash ---------------------------------------------------------------
