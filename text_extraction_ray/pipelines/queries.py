@@ -25,11 +25,10 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from ..functions.dedup import (
     exact_dedup,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
