@@ -15,8 +15,12 @@ def _payloads(seed: int, n: int):
     rng = random.Random(seed)
     tricky_prefixes = [b"", b"%PDF-", b"<html", b"<!DOCT", b"\xef\xbb\xbf",
                        b"\xff\xfe", b"<script>", b"WARC/1.0"]
+    mb_bodies = ["日本語 テスト".encode("shift_jis"),
+                 "中文 测试".encode("gb2312"),
+                 "русский текст".encode("koi8-r"),
+                 "한국어 문서".encode("euc-kr")]
     for i in range(n):
-        kind = i % 4
+        kind = i % 6
         if kind == 0:  # pure random bytes
             yield rng.randbytes(rng.randrange(0, 2048))
         elif kind == 1:  # random bytes with a meaningful prefix
@@ -28,10 +32,25 @@ def _payloads(seed: int, n: int):
                     b"".join(b"<p>word %d &amp; &#x41; <a href=x>l</a></p>"
                              % j for j in range(20)) + b"</body></html>")
             yield html[: rng.randrange(1, len(html))]
-        else:  # mangled pdf
+        elif kind == 3:  # mangled pdf
             pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                    b"stream\nBT (hi) Tj ET\nendstream\ntrailer\n%%EOF")
             yield pdf[: rng.randrange(1, len(pdf))]
+        elif kind == 4:  # round 2: multi-byte charset pages, truncated
+            cs = rng.choice([b"shift_jis", b"gb2312", b"koi8-r", b"euc-kr",
+                             b"cp1251", b"x-bogus", b"rot13", b"utf-16le"])
+            page = (b'<html><head><meta charset="' + cs + b'"></head><body>'
+                    + rng.choice(mb_bodies) * rng.randrange(1, 5)
+                    + b"</body></html>")
+            yield page[: rng.randrange(1, len(page) + 1)]
+        else:  # round 2: pdf robustness structures, mangled
+            bits = [b"/Length 5 0 R", b"/Type /ObjStm /N 3 /First 12",
+                    b"/Type /XRef", b"stream\nBT(x)Tj ET\nendstream",
+                    b"1 0 obj 42 endobj"]
+            pdf = (b"%PDF-1.5\n"
+                   + b"\n".join(rng.choice(bits)
+                                for _ in range(rng.randrange(1, 8))))
+            yield pdf[: rng.randrange(1, len(pdf) + 1)]
 
 
 def test_fuzz_total_function():
