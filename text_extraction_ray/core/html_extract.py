@@ -236,20 +236,23 @@ def segment_blocks(doc: str) -> list[Block]:
                 if name == "br":
                     br_run += 1
                     if br_run >= 2:
-                        flush()
+                        if parts:
+                            flush()
                         br_run = 0
                     else:
                         parts.append(" ")
                     continue
                 br_run = 0
                 if name in SKIP_SUBTREES:
-                    flush()
+                    if parts:
+                        flush()
                     if not self_closing:
                         skip_depth += 1
                         stack.append(name)
                 else:
                     if name in BLOCK_TAGS:
-                        flush()
+                        if parts:
+                            flush()
                     if name == "a" and _attr_has_href(m.group(2)):
                         a_depth += 1
                         stack.append(name)
@@ -310,7 +313,8 @@ def segment_blocks(doc: str) -> list[Block]:
                                 break
                     continue
                 if name in BLOCK_TAGS:
-                    flush()
+                    if parts:
+                        flush()
                 if name == "a":
                     if a_depth:
                         a_depth -= 1
