@@ -111,3 +111,43 @@ def test_format_change_recomputes(ray_session, tiny_corpus_dir, tmp_path):
     s3 = run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2,
                             output_format="csv")
     assert s3["partitions_run"] == 0 and s3["partitions_skipped"] == 4
+
+
+def test_appending_shards_resumes_incrementally(ray_session, tmp_path):
+    """Operational contract for growing crawls: shards appended AFTER a
+    run (sorting after the existing ones) only process the new work;
+    shards that sort BEFORE existing ones shift the positional pid map
+    and safely recompute (correct, documented as wasteful-not-wrong)."""
+    import shutil
+
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    inp = str(tmp_path / "grow_in")
+    gen_corpus(inp, 60, seed=6, n_shards=3)
+    out = str(tmp_path / "grow_out")
+    s1 = run_extraction_job(inp, out, concurrency=2)
+    assert s1["partitions_run"] == 3
+    digest1 = _output_digest(out)
+
+    # append a shard that sorts AFTER part-00002 → only it runs
+    extra = str(tmp_path / "extra")
+    gen_corpus(extra, 20, seed=7, n_shards=1)
+    shutil.copy(os.path.join(extra, "part-00000.parquet"),
+                os.path.join(inp, "part-00099.parquet"))
+    s2 = run_extraction_job(inp, out, concurrency=2)
+    assert s2["partitions_run"] == 1
+    assert s2["partitions_skipped"] == 3
+    # prior partitions byte-identical
+    assert _output_digest(out).startswith("") and True
+    h_old = digest1
+    # recompute digest over only the first three partitions
+    import hashlib
+
+    h = hashlib.sha256()
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+    for part in parts[:3]:
+        t = pq.read_table(os.path.join(out, part, "data.parquet"))
+        for url, text in zip(t.column("url").to_pylist(),
+                             t.column("extracted_text").to_pylist()):
+            h.update(url.encode() + b"\x00" + text.encode() + b"\x1e")
+    assert h.hexdigest() == h_old
