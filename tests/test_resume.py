@@ -138,7 +138,6 @@ def test_appending_shards_resumes_incrementally(ray_session, tmp_path):
     assert s2["partitions_run"] == 1
     assert s2["partitions_skipped"] == 3
     # prior partitions byte-identical
-    assert _output_digest(out).startswith("") and True
     h_old = digest1
     # recompute digest over only the first three partitions
     import hashlib
