@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 46 of 63 queries.  Rows-only (approximate
+    names as the Ray results) — 47 of 64 queries.  Rows-only (approximate
     or inherently non-SQL): minhash/simhash (seeded permutation hashes),
     FNV fingerprint, ann_lsh/ann_ivf (approximate by construction),
     seeded sample, multimodal decode/resize/frame-sample, and the

@@ -923,6 +923,81 @@ FROM d
 """
 
 
+# --- TF-IDF top terms per document ------------------------------------------
+
+def q_doc_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 terms per document ranked by (tf DESC, df ASC, token ASC) —
+    an integer-only ordering, so the ranking is bit-reproducible across
+    engines; the tf-idf score itself is emitted alongside (6dp).  Plan:
+    per-batch (doc, token, tf) rows via np.unique → df = one groupby over
+    the doc-distinct term rows → df attached with the vectorized broadcast
+    lookup (at full-vocab scale this becomes a hash join — documented) →
+    per-doc top-3 inside map_groups (lexsort)."""
+
+    def doc_terms(b: pa.Table) -> pa.Table:
+        ids_out, toks_out, tf_out = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            words = np.asarray((text or "").split(), dtype=object)
+            if len(words) == 0:
+                continue
+            uniq, counts = np.unique(words, return_counts=True)
+            ids_out.extend([doc_id] * len(uniq))
+            toks_out.extend(uniq.tolist())
+            tf_out.extend(counts.tolist())
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "token": pa.array(toks_out, type=pa.string()),
+            "tf": pa.array(tf_out, type=pa.int64()),
+        })
+
+    terms = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(doc_terms, **_PYA))
+    # document frequency: each (doc, token) row is unique by construction
+    df_tbl = terms.groupby("token").count().rename_columns(
+        {"count()": "df"}).to_pandas()
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    attach_df = broadcast_attach_factory(
+        pa.array(df_tbl["token"], type=pa.string()),
+        pa.array(df_tbl["df"], type=pa.int64()),
+        "token", "df", default=0)
+
+    def top3(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
+        order = np.lexsort((toks, df, -tf))[:3]
+        score = tf[order] * np.log(n_docs / df[order].astype(np.float64))
+        return pa.table({
+            "doc_id": g.column("doc_id").take(pa.array(order)),
+            "token": pa.array(toks[order], type=pa.string()),
+            "tf": pa.array(tf[order], type=pa.int64()),
+            "df": pa.array(df[order], type=pa.int64()),
+            "tfidf": pa.array(np.round(score, 6), type=pa.float64()),
+        })
+
+    return (terms.map_batches(attach_df, **_PYA)
+            .groupby("doc_id")
+            .map_groups(top3, **_PYA))
+
+
+SQL_DOC_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+       FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, token, tf, df,
+       ROUND(tf * LN(CAST((SELECT n FROM nd) AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (token)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, token ASC) <= 3
+"""
+
+
 # --- scalar-function parity: weekday buckets, unicode NFC -------------------
 
 def q_orders_weekday(sf_dir: str) -> ray.data.Dataset:
@@ -1154,6 +1229,7 @@ def queries_ext() -> dict:
         "neardup_clusters": q_neardup_clusters,
         "orders_weekday": q_orders_weekday,
         "docs_nfc": q_docs_nfc,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -1185,6 +1261,7 @@ def oracle_sql_ext() -> dict[str, str]:
         "events_adaptive_sum": SQL_EVENTS_SALTED_SUM,
         "orders_weekday": SQL_ORDERS_WEEKDAY,
         "docs_nfc": SQL_DOCS_NFC,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
         # oracles for operators implemented in pipelines/queries.py
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "lang_id": sql_lang_id(),
