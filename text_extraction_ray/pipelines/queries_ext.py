@@ -928,57 +928,75 @@ FROM d
 def q_doc_top_terms(sf_dir: str) -> ray.data.Dataset:
     """Top-3 terms per document ranked by (tf DESC, df ASC, token ASC) —
     an integer-only ordering, so the ranking is bit-reproducible across
-    engines; the tf-idf score itself is emitted alongside (6dp).  Plan:
-    per-batch (doc, token, tf) rows via np.unique → df = one groupby over
-    the doc-distinct term rows → df attached with the vectorized broadcast
-    lookup (at full-vocab scale this becomes a hash join — documented) →
-    per-doc top-3 inside map_groups (lexsort)."""
+    engines; the tf-idf score itself is emitted alongside (6dp).  Plan
+    (NO doc-level shuffle at all): pass 1 folds per-batch df partials
+    (map-side combiner — a doc is whole within its batch, so partials sum
+    exactly) into one vocab-sized groupby; the df table broadcasts once;
+    pass 2 recomputes per-doc term counts and takes the top-3 LOCALLY.
+    At crawl-scale vocab the broadcast becomes a hash join — documented."""
 
-    def doc_terms(b: pa.Table) -> pa.Table:
-        ids_out, toks_out, tf_out = [], [], []
+    def df_partials(b: pa.Table) -> pa.Table:
+        """Map-side df combiner: (token, n docs in THIS batch containing
+        it) — a doc's rows never straddle batches, so partials sum to the
+        exact global df; the shuffle carries per-batch vocab rows, not
+        doc × token rows."""
+        toks: list[str] = []
+        for text in b.column("text").to_pylist():
+            toks.extend(set((text or "").split()))
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "df_part": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table({
+            "token": pa.array(uniq.tolist(), type=pa.string()),
+            "df_part": pa.array(counts, type=pa.int64()),
+        })
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df_tbl = (docs.map_batches(df_partials, **_PYA)
+              .groupby("token")
+              .aggregate(Sum("df_part", alias_name="df"))
+              ).to_pandas()  # vocab-bounded; a hash join at crawl scale
+    n_docs = docs.count()
+    df_keys = pa.array(df_tbl["token"], type=pa.string())
+    df_vals = df_tbl["df"].to_numpy()
+    import ray as _ray
+
+    df_ref = _ray.put((df_keys, df_vals))
+
+    def top3_batch(b: pa.Table) -> pa.Table:
+        """Second scan: per-doc term counts + df lookup + local top-3 —
+        NO doc-level shuffle anywhere (each doc is whole in its batch)."""
+        keys, vals = _ray.get(df_ref)
+        ids_out, tok_out, tf_out, df_out, sc_out = [], [], [], [], []
         for doc_id, text in zip(b.column("doc_id").to_pylist(),
                                 b.column("text").to_pylist()):
             words = np.asarray((text or "").split(), dtype=object)
             if len(words) == 0:
                 continue
             uniq, counts = np.unique(words, return_counts=True)
-            ids_out.extend([doc_id] * len(uniq))
-            toks_out.extend(uniq.tolist())
-            tf_out.extend(counts.tolist())
+            idx = pc.index_in(
+                pa.array(uniq.tolist(), type=pa.string()),
+                value_set=keys).to_numpy(zero_copy_only=False)
+            df = vals[idx.astype(np.int64)]
+            order = np.lexsort((uniq, df, -counts))[:3]
+            score = counts[order] * np.log(
+                n_docs / df[order].astype(np.float64))
+            ids_out.extend([doc_id] * len(order))
+            tok_out.extend(uniq[order].tolist())
+            tf_out.extend(counts[order].tolist())
+            df_out.extend(df[order].tolist())
+            sc_out.extend(np.round(score, 6).tolist())
         return pa.table({
             "doc_id": pa.array(ids_out, type=pa.int64()),
-            "token": pa.array(toks_out, type=pa.string()),
+            "token": pa.array(tok_out, type=pa.string()),
             "tf": pa.array(tf_out, type=pa.int64()),
+            "df": pa.array(df_out, type=pa.int64()),
+            "tfidf": pa.array(sc_out, type=pa.float64()),
         })
 
-    terms = (_read(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(doc_terms, **_PYA))
-    # document frequency: each (doc, token) row is unique by construction
-    df_tbl = terms.groupby("token").count().rename_columns(
-        {"count()": "df"}).to_pandas()
-    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
-    attach_df = broadcast_attach_factory(
-        pa.array(df_tbl["token"], type=pa.string()),
-        pa.array(df_tbl["df"], type=pa.int64()),
-        "token", "df", default=0)
-
-    def top3(g: pa.Table) -> pa.Table:
-        tf = g.column("tf").to_numpy(zero_copy_only=False)
-        df = g.column("df").to_numpy(zero_copy_only=False)
-        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
-        order = np.lexsort((toks, df, -tf))[:3]
-        score = tf[order] * np.log(n_docs / df[order].astype(np.float64))
-        return pa.table({
-            "doc_id": g.column("doc_id").take(pa.array(order)),
-            "token": pa.array(toks[order], type=pa.string()),
-            "tf": pa.array(tf[order], type=pa.int64()),
-            "df": pa.array(df[order], type=pa.int64()),
-            "tfidf": pa.array(np.round(score, 6), type=pa.float64()),
-        })
-
-    return (terms.map_batches(attach_df, **_PYA)
-            .groupby("doc_id")
-            .map_groups(top3, **_PYA))
+    return docs.map_batches(top3_batch, **_PYA)
 
 
 SQL_DOC_TOP_TERMS = r"""
