@@ -25,10 +25,14 @@ unless noted:
 - round 2: AS-OF join (key shuffle + ordered in-group forward-fill),
   RANGE join (broadcast interval table + np.searchsorted — never a
   shuffle), 7-day moving average (distributed daily reduce → driver
-  window scan with fresh per-window sums), heavy hitters (two-pass
+  window scan with fresh per-window sums), heavy hitters (two-scan
   sketch with exact counts, oracled), per-group quantile histogram
-  sketch (rows-only, accuracy-tested vs the exact operator), parquet
-  predicate pushdown on the filter-first queries
+  sketch + HyperLogLog distinct (rows-only, accuracy-tested vs the
+  exact operators), bloom-prefiltered semi-join (same oracle as the
+  unfiltered join), adaptive hot-key salting, near-dup pair→cluster
+  union-find, dimension-chain broadcast join (region+supplier),
+  weekday/NFC scalar parity, TF-IDF top terms (integer-ranked,
+  shuffle-free), parquet predicate pushdown on filter-first queries
 """
 
 from __future__ import annotations
