@@ -95,3 +95,22 @@ def test_round2_dedup_stage(ray_session):
     ])
     kept = sorted(r["doc_id"] for r in pipe(ds).take_all())
     assert kept == [1, 3]
+
+
+def test_extraction_plan_has_no_shuffle(ray_session, tiny_corpus_dir):
+    """Physical-plan invariant: the flagship extraction pipeline is
+    read → actor-pool map — any future change that sneaks an all-to-all
+    (sort/aggregate/shuffle) into the hot path must fail loudly."""
+    from text_extraction_ray.pipelines.extraction import (
+        EXTRACT_COLUMNS,
+        extract_pages,
+        read_pages,
+    )
+
+    out = extract_pages(read_pages(tiny_corpus_dir, columns=EXTRACT_COLUMNS),
+                        mode="single_pass", concurrency=(1, 2),
+                        batch_size=64).materialize()
+    stats = out.stats()
+    for op in ("Sort", "Aggregate", "Shuffle", "Repartition"):
+        assert op not in stats, f"unexpected {op} operator in:\n{stats[:800]}"
+    assert "MapBatches" in stats and "ReadParquet" in stats
