@@ -134,3 +134,28 @@ def test_hll_string_column(ray_session):
                              override_num_blocks=6)
     est = approx_distinct(ds, "s")
     assert abs(est - n) / n < 0.05
+
+
+def test_heavy_tokens_partition_invariant(ray_session):
+    """Hypothesis-style sweep: the heavy-hitter result is identical under
+    different block structures and row orders (the candidate superset
+    guarantee must hold however batches split)."""
+    import numpy as np
+
+    from text_extraction_ray.functions.sketch import heavy_tokens
+
+    rs = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = np.array([40, 25] + [1] * 28, dtype=np.float64)
+    weights /= weights.sum()
+    rows = [" ".join(rs.choice(vocab, size=15, p=weights))
+            for _ in range(300)]
+    results = []
+    for blocks, order in ((2, 1), (16, 1), (5, -1), (11, -1)):
+        ds = ray.data.from_items(
+            [{"text": t} for t in rows[::order]],
+            override_num_blocks=blocks)
+        out = heavy_tokens(ds, ratio=30).to_pandas()
+        results.append(sorted(zip(out["token"], out["n_occurrences"])))
+    assert all(r == results[0] for r in results[1:])
+    assert len(results[0]) >= 2  # the two heavy tokens are found
