@@ -74,3 +74,30 @@ def test_neardup_clusters_union_find(ray_session):
     out = neardup_clusters(pairs).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_distributed_clusters_match_union_find(ray_session):
+    """Min-label propagation (no driver-side pairs) converges to exactly
+    the union-find clusters, including a chain longer than one round's
+    reach and an isolated pair."""
+    import numpy as np
+
+    from text_extraction_ray.functions.dedup import (
+        neardup_clusters,
+        neardup_clusters_distributed,
+    )
+
+    rs = np.random.RandomState(3)
+    edges = [{"id_a": i, "id_b": i + 1} for i in range(100, 112)]  # chain
+    edges += [{"id_a": 500, "id_b": 501}]
+    # a random cluster of 20 nodes
+    nodes = rs.choice(range(1000, 1040), size=30).tolist()
+    edges += [{"id_a": int(a), "id_b": int(b)}
+              for a, b in zip(nodes, nodes[1:])]
+    pairs = ray.data.from_items(edges)
+    uf = neardup_clusters(pairs).to_pandas()
+    lp = (neardup_clusters_distributed(ray.data.from_items(edges))
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    uf = uf.sort_values("doc_id").reset_index(drop=True)
+    assert lp["doc_id"].tolist() == uf["doc_id"].tolist()
+    assert lp["cluster_id"].tolist() == uf["cluster_id"].tolist()

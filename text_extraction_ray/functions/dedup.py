@@ -509,6 +509,54 @@ def neardup_clusters(pairs: ray.data.Dataset, id_a: str = "id_a",
     })
 
 
+def neardup_clusters_distributed(pairs: ray.data.Dataset,
+                                 id_a: str = "id_a", id_b: str = "id_b",
+                                 max_rounds: int = 16) -> ray.data.Dataset:
+    """Distributed min-label propagation — the at-scale fallback
+    ``neardup_clusters`` documents: no driver-side pair materialization.
+
+    labels start as each node's own id; every round each node takes the
+    minimum label among itself and its neighbours (edges joined to labels,
+    messages reduced by groupby-min).  Labels decrease monotonically, so
+    the global label SUM is a convergence certificate: an unchanged sum
+    means a fixed point (= union-find's min-member clusters, reached in
+    O(cluster diameter) rounds; ``max_rounds`` caps pathological chains
+    with a logged warning).  Returns Dataset[(doc_id, cluster_id)]."""
+    edges = pairs.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([
+                b.column(id_a).combine_chunks().cast(pa.int64()),
+                b.column(id_b).combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                b.column(id_b).combine_chunks().cast(pa.int64()),
+                b.column(id_a).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow").materialize()
+    labels = (edges.groupby("src").count()
+              .map_batches(lambda b: pa.table({
+                  "node": b.column("src"),
+                  "label": b.column("src"),
+              }), batch_format="pyarrow")).materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        msgs = edges.join(labels, join_type="inner", num_partitions=4,
+                          on=("src",), right_on=("node",))
+        msgs = msgs.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        labels = (labels.union(msgs)
+                  .groupby("node").min("label")
+                  .rename_columns({"min(label)": "label"})).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        print(f"[dedup] label propagation hit max_rounds={max_rounds} "
+              f"before convergence (very long chain?)", file=sys.stderr)
+    return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, key_col: str = "source",
                         id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.2) -> ray.data.Dataset:
