@@ -88,7 +88,7 @@ def test_distributed_clusters_match_union_find(ray_session):
     )
 
     rs = np.random.RandomState(3)
-    edges = [{"id_a": i, "id_b": i + 1} for i in range(100, 112)]  # chain
+    edges = [{"id_a": i, "id_b": i + 1} for i in range(100, 106)]  # chain
     edges += [{"id_a": 500, "id_b": 501}]
     # a random cluster of 20 nodes
     nodes = rs.choice(range(1000, 1040), size=30).tolist()
