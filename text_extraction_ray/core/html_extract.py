@@ -228,9 +228,9 @@ def segment_blocks(doc: str) -> list[Block]:
         if c.isalpha():
             m = _TAG_RE.match(doc, lt)
             if m:
-                g = m.group(1)
+                g, attrs, slash = m.groups()  # one C call, not three
                 name = g if g.islower() else g.lower()
-                self_closing = m.group(3) == "/"
+                self_closing = slash == "/"
                 i = m.end()
                 # ---- start-tag state transitions ----
                 if name == "br":
@@ -253,7 +253,7 @@ def segment_blocks(doc: str) -> list[Block]:
                     if name in BLOCK_TAGS:
                         if parts:
                             flush()
-                    if name == "a" and _attr_has_href(m.group(2)):
+                    if name == "a" and _attr_has_href(attrs):
                         a_depth += 1
                         stack.append(name)
                         continue
