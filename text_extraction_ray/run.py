@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synth-rows", type=int, default=None,
                     help="generate a synthetic corpus of N rows at --input "
                          "first (demo/testing)")
+    ap.add_argument("--refresh-from", default=None, metavar="OLD_OUTPUT",
+                    help="incremental recrawl mode: extract ONLY pages "
+                         "that are new or newer than OLD_OUTPUT's rows, "
+                         "carry the rest forward, write the keep-latest "
+                         "merge to --output (parquet)")
     args = ap.parse_args(argv)
     if (args.dedup or args.report) and args.format != "parquet":
         ap.error("--dedup/--report require --format parquet")
@@ -69,6 +74,21 @@ def main(argv: list[str] | None = None) -> int:
         # survive and corrupt --report/--dedup (ADVICE r1).
         for d in glob.glob(os.path.join(args.output, "part=*")):
             shutil.rmtree(d, ignore_errors=True)
+
+    if args.refresh_from:
+        from .pipelines.extraction import EXTRACT_COLUMNS, read_pages
+        from .pipelines.job import read_output
+        from .pipelines.refresh import refresh_extraction
+
+        merged, n_delta = refresh_extraction(
+            read_output(args.refresh_from),
+            read_pages(args.input, columns=EXTRACT_COLUMNS),
+            concurrency=args.concurrency or (1, 8))
+        merged.write_parquet(args.output)
+        json.dump({"mode": "refresh", "delta_extracted": n_delta,
+                   "rows_out": merged.count()}, sys.stdout, indent=2)
+        print()
+        return 0
 
     from .pipelines.job import run_extraction_job
 
