@@ -114,3 +114,37 @@ def test_extraction_plan_has_no_shuffle(ray_session, tiny_corpus_dir):
     for op in ("Sort", "Aggregate", "Shuffle", "Repartition"):
         assert op not in stats, f"unexpected {op} operator in:\n{stats[:800]}"
     assert "MapBatches" in stats and "ReadParquet" in stats
+
+
+def test_training_prep_chain(ray_session, tiny_corpus_dir):
+    """The full training-data prep story as ONE builder config: extract →
+    quality features → language filter → token counting — each stage a
+    registry entry, the whole chain lazy and streaming."""
+    import ray.data
+
+    pipe = build_pipeline([
+        {"stage": "dedup_keep_latest"},
+        {"stage": "extract", "concurrency": 2, "batch_size": 64},
+        {"stage": "filter_minlen", "min_chars": 50},
+    ])
+    out = pipe(read_pages(tiny_corpus_dir))
+
+    # feed the extracted text through the analysis stages (text col name)
+    def rename(b):
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array(range(b.num_rows)),
+                         "text": b.column("extracted_text")})
+
+    analysis = build_pipeline([
+        {"stage": "quality"},
+        {"stage": "token_count"},
+        {"stage": "lang_id"},
+    ])
+    t = analysis(out.map_batches(rename, batch_format="pyarrow")).to_pandas()
+    assert len(t) > 50
+    for col in ("quality_ok", "n_tokens", "n_subtokens", "lang_pred",
+                "alpha_ratio", "stop_ratio"):
+        assert col in t.columns
+    assert t["quality_ok"].any()
+    assert (t.loc[t["quality_ok"], "n_tokens"] >= 5).all()
