@@ -31,12 +31,18 @@ def fnv1a64(data: bytes) -> int:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Adds n_tokens (whitespace tokens) + n_subtokens (BPE-ish pieces)."""
+    """Adds n_tokens (whitespace tokens) + n_subtokens (BPE-ish pieces).
+    Idempotent about columns another stage already added (quality_batch
+    also derives n_tokens), so analysis stages compose in any order."""
     text = batch.column(text_col)
-    n_tokens = pc.count_substring_regex(text, _TOKEN_PATTERN)
-    n_sub = pc.count_substring_regex(text, _BPEISH_PATTERN)
-    out = batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
-    return out.append_column("n_subtokens", pc.cast(n_sub, pa.int64()))
+    out = batch
+    if "n_tokens" not in out.schema.names:
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PATTERN)
+        out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    if "n_subtokens" not in out.schema.names:
+        n_sub = pc.count_substring_regex(text, _BPEISH_PATTERN)
+        out = out.append_column("n_subtokens", pc.cast(n_sub, pa.int64()))
+    return out
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -78,7 +84,8 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("stop_ratio", stop_ratio),
         ("quality_ok", quality_ok),
     ):
-        out = out.append_column(name, arr)
+        if name not in out.schema.names:  # compose-safe (see token_count)
+            out = out.append_column(name, arr)
     return out
 
 
