@@ -194,3 +194,42 @@ def test_events_asof_matches_bruteforce(registry):
                 want[row["event_id"]] = last
     got_map = dict(zip(got["event_id"], got["last_purchase_value"]))
     assert got_map == want
+
+
+_ROWS_ONLY_SCHEMAS = {
+    "extract_pages": ['doc_type', 'lang', 'n_blocks_dropped',
+                      'n_blocks_kept', 'parse_ok', 'url'],
+    "explain_blocks": ['block_id', 'cls', 'link_density', 'n_chars',
+                       'stop_density', 'tag_path', 'url'],
+    "html_tables": ['n_cells', 'row_idx', 'row_text', 'table_idx', 'url'],
+    "pdf_tables": ['grid', 'table_idx', 'url'],
+    "extract_embed_neardup": ['cos', 'id_a', 'id_b'],
+    "neardup_clusters": ['cluster_id', 'doc_id'],
+    "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
+    "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
+    "fingerprint": ['doc_id', 'fingerprint'],
+    "sample_docs": ['doc_id'],
+    "length_quantiles_sketch": ['estimate', 'lang', 'quantile'],
+    "distinct_users_hll": ['n_users_approx'],
+    "multimodal_decode": ['caption', 'decode_ok', 'error', 'mean_pixel',
+                          'media_id', 'n_pixels', 'thumb16'],
+    "media_resize": ['decode_ok', 'error', 'mean_pixel', 'media_id',
+                     'n_pixels', 'thumb16'],
+    "video_frames": ['decode_ok', 'error', 'frame_idx', 'mean_pixel',
+                     'media_id', 'n_pixels', 'thumb16'],
+    "ann_lsh": ['cos', 'vec_id'],
+    "ann_ivf": ['cos', 'vec_id'],
+}
+
+
+def test_rows_only_schemas_pinned(registry):
+    """The driver's rows-only check records row count + schema; pin every
+    rows-only query's column set so schema drift is caught here, not in
+    the round report."""
+    qs, oracles = registry
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == set(_ROWS_ONLY_SCHEMAS), (
+        rows_only ^ set(_ROWS_ONLY_SCHEMAS))
+    for name, want in _ROWS_ONLY_SCHEMAS.items():
+        df = _to_pandas(qs[name](SF_DIR))
+        assert sorted(df.columns) == want, name
