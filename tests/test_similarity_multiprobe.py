@@ -131,3 +131,19 @@ def test_fresh_removes_orphan_partitions(ray_session, tmp_path):
     assert parts == ["part=00000"]  # orphans part=00001/2 are gone
     t = pq.read_table(os.path.join(out, "part=00000", "data.parquet"))
     assert t.num_rows == 20
+
+
+def test_failure_rate_gate(ray_session, tmp_path):
+    """--max-failure-rate: the synthetic corpus has a known ~2-7% garbage
+    fraction — a loose gate passes (rc 0), a zero-tolerance gate trips
+    (rc 3) on the SAME output."""
+    from text_extraction_ray.run import main
+
+    inp, out = str(tmp_path / "g_in"), str(tmp_path / "g_out")
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    gen_corpus(inp, 100, seed=5, n_shards=2)
+    assert main(["--input", inp, "--output", out,
+                 "--max-failure-rate", "0.5"]) == 0
+    assert main(["--input", inp, "--output", out,
+                 "--max-failure-rate", "0.0"]) == 3

@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synth-rows", type=int, default=None,
                     help="generate a synthetic corpus of N rows at --input "
                          "first (demo/testing)")
+    ap.add_argument("--max-failure-rate", type=float, default=None,
+                    metavar="FRAC",
+                    help="QA gate: exit 3 if cumulative docs_failed / "
+                         "docs_in exceeds FRAC (e.g. 0.02) — catches a "
+                         "systematically broken crawl batch in CI")
     ap.add_argument("--refresh-from", default=None, metavar="OLD_OUTPUT",
                     help="incremental recrawl mode: extract ONLY pages "
                          "that are new or newer than OLD_OUTPUT's rows, "
@@ -105,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         summary["report"] = report_output(args.output)
     json.dump(summary, sys.stdout, indent=2, sort_keys=True)
     print()
+    if args.max_failure_rate is not None:
+        cum = summary.get("cumulative", {})
+        docs_in = cum.get("docs_in", 0)
+        rate = (cum.get("docs_failed", 0) / docs_in) if docs_in else 0.0
+        if rate > args.max_failure_rate:
+            print(f"FAILURE-RATE GATE: {rate:.4f} > "
+                  f"{args.max_failure_rate}", file=sys.stderr)
+            return 3
     return 0
 
 
