@@ -150,3 +150,29 @@ def test_appending_shards_resumes_incrementally(ray_session, tmp_path):
                              t.column("extracted_text").to_pylist()):
             h.update(url.encode() + b"\x00" + text.encode() + b"\x1e")
     assert h.hexdigest() == h_old
+
+
+def test_stale_tmp_files_are_harmless(ray_session, tiny_corpus_dir, tmp_path):
+    """Crash simulation: a killed writer leaves data.parquet.tmp and
+    manifest .tmp debris behind. Resume must ignore the debris, recompute
+    only unfinished partitions, and end byte-identical."""
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+    run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2)
+    digest = _output_digest(out)
+
+    # simulate a crash mid-partition-2: manifest gone, output half-written
+    os.remove(manifest_file(ckpt, 2))
+    pdir = partition_out_dir(out, 2)
+    os.replace(os.path.join(pdir, "data.parquet"),
+               os.path.join(pdir, "data.parquet.tmp"))
+    with open(os.path.join(pdir, "data.parquet.tmp"), "ab") as fh:
+        fh.write(b"TRUNCATED GARBAGE")
+    with open(manifest_file(ckpt, 3) + ".tmp", "w") as fh:
+        fh.write('{"half": true')  # unfinished manifest write
+
+    s = run_extraction_job(tiny_corpus_dir, out, ckpt, concurrency=2)
+    assert s["partitions_run"] == 1  # only the crashed partition
+    assert s["partitions_skipped"] == 3
+    assert _output_digest(out) == digest
+    assert os.path.exists(os.path.join(pdir, "data.parquet"))
