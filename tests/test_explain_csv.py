@@ -183,3 +183,22 @@ def test_job_jsonl_output_matches_parquet(corpus_dir, tmp_path, ray_session):
     again = run_extraction_job(corpus_dir, jdir, concurrency=2,
                                output_format="jsonl")
     assert again["partitions_run"] == 0 and again["partitions_skipped"] == 4
+
+
+def test_jsonl_report_matches_parquet_report(corpus_dir, tmp_path,
+                                             ray_session):
+    """read_output(jsonl) feeds the same QA report as the parquet run."""
+    from text_extraction_ray.pipelines.job import (
+        report_output,
+        run_extraction_job,
+    )
+
+    pdir, jdir = str(tmp_path / "rep_pq"), str(tmp_path / "rep_jsonl")
+    run_extraction_job(corpus_dir, pdir, concurrency=2)
+    run_extraction_job(corpus_dir, jdir, concurrency=2,
+                       output_format="jsonl")
+    rp = report_output(pdir, "parquet")
+    rj = report_output(jdir, "jsonl")
+    assert rp["doc_types"] == rj["doc_types"]
+    assert rp["per_lang"] == rj["per_lang"]
+    assert rp["length_histogram"] == rj["length_histogram"]

@@ -165,15 +165,38 @@ def list_shards(input_path: str) -> list[str]:
     return [input_path]
 
 
-def read_output(output_dir: str) -> ray.data.Dataset:
-    """OUT Dataset over the job's partitioned parquet output."""
+def read_output(output_dir: str,
+                output_format: str = "parquet") -> ray.data.Dataset:
+    """OUT Dataset over the job's partitioned output (parquet or jsonl;
+    CSV read-back is unsupported — spans are JSON-encoded strings there,
+    so its schema can't round-trip)."""
+    fname = {"jsonl": "data.jsonl"}.get(output_format, "data.parquet")
+    if output_format == "csv":
+        raise ValueError("CSV partitions cannot be read back as OUT "
+                         "(spans are JSON-encoded); use parquet or jsonl")
     parts = sorted(
-        os.path.join(output_dir, d, "data.parquet")
+        os.path.join(output_dir, d, fname)
         for d in os.listdir(output_dir)
         if d.startswith("part=")
-        and os.path.exists(os.path.join(output_dir, d, "data.parquet"))
+        and os.path.exists(os.path.join(output_dir, d, fname))
     )
-    return ray.data.read_parquet(parts)
+    if output_format == "parquet":
+        return ray.data.read_parquet(parts)
+    raw = ray.data.read_json(parts, file_extensions=["jsonl"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        ts = b.column("warc_ts")
+        if not pa.types.is_timestamp(ts.type):
+            import datetime as _dt
+
+            ts = pa.array([_dt.datetime.fromisoformat(s)
+                           for s in ts.to_pylist()], pa.timestamp("us"))
+        else:
+            ts = ts.cast(pa.timestamp("us"))
+        i = b.schema.get_field_index("warc_ts")
+        return b.set_column(i, "warc_ts", ts)
+
+    return raw.map_batches(norm, batch_format="pyarrow")
 
 
 def dedup_output(output_dir: str, dedup_dir: str | None = None) -> str:
@@ -188,12 +211,12 @@ def dedup_output(output_dir: str, dedup_dir: str | None = None) -> str:
     return dedup_dir
 
 
-def report_output(output_dir: str) -> dict:
+def report_output(output_dir: str, output_format: str = "parquet") -> dict:
     """QA report over the job output: doc types, per-lang stats, length
     histogram (G2/G6) — all pre-reduced map-side, tiny groupbys."""
     from .analysis import doc_type_counts, length_histogram, per_lang_stats
 
-    out = read_output(output_dir)
+    out = read_output(output_dir, output_format)
     return {
         "doc_types": doc_type_counts(out).to_pandas()
         .to_dict("records"),

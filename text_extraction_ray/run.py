@@ -56,8 +56,11 @@ def main(argv: list[str] | None = None) -> int:
                          "carry the rest forward, write the keep-latest "
                          "merge to --output (parquet)")
     args = ap.parse_args(argv)
-    if (args.dedup or args.report) and args.format != "parquet":
-        ap.error("--dedup/--report require --format parquet")
+    if args.dedup and args.format != "parquet":
+        ap.error("--dedup requires --format parquet")
+    if args.report and args.format == "csv":
+        ap.error("--report requires --format parquet or jsonl "
+                 "(CSV spans are JSON-encoded and cannot read back)")
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
@@ -107,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.report:
         from .pipelines.job import report_output
 
-        summary["report"] = report_output(args.output)
+        summary["report"] = report_output(args.output, args.format)
     json.dump(summary, sys.stdout, indent=2, sort_keys=True)
     print()
     if args.max_failure_rate is not None:
