@@ -78,3 +78,25 @@ def test_minhash_lean_identical(ray_session):
     o = set(zip(old["doc_a"], old["doc_b"], old["est_jaccard"]))
     n = set(zip(new["doc_a"], new["doc_b"], new["est_jaccard"]))
     assert o == n and len(n) > 0
+
+
+def test_minhash_joined_variant_identical(ray_session):
+    """The fully-distributed (hash-join) lean variant equals the
+    driver-budget lean variant — the documented at-scale fallback is real
+    code, not a comment."""
+    import ray.data
+
+    from text_extraction_ray.functions.dedup import (
+        minhash_lsh_pairs_joined,
+        minhash_lsh_pairs_lean,
+    )
+
+    ds1 = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                                columns=["doc_id", "text"])
+    lean = minhash_lsh_pairs_lean(ds1).to_pandas()
+    ds2 = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                                columns=["doc_id", "text"])
+    joined = minhash_lsh_pairs_joined(ds2).to_pandas()
+    a = set(zip(lean["doc_a"], lean["doc_b"], lean["est_jaccard"]))
+    b = set(zip(joined["doc_a"], joined["doc_b"], joined["est_jaccard"]))
+    assert a == b and len(a) > 0

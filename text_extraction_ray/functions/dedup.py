@@ -277,9 +277,9 @@ def minhash_lsh_pairs_lean(ds: ray.data.Dataset, id_col: str = "doc_id",
               the object store by orders of magnitude)
       final   est_jaccard per candidate pair, vectorized driver-side
               (candidates are bounded by the per-bucket caps; budget
-              logged + truncated at {cap:,} pairs — beyond that, swap the
-              driver step for two distributed hash joins on doc_a/doc_b,
-              same semantics)
+              logged + truncated at {cap:,} pairs — beyond that use
+              ``minhash_lsh_pairs_joined`` — the same semantics with
+              distributed hash joins, tested output-identical)
 
     Returns a driver-side Arrow table (the pair set is small by
     construction).""".format(cap=_LEAN_CANDIDATE_CAP)
@@ -555,6 +555,75 @@ def neardup_clusters_distributed(pairs: ray.data.Dataset,
         print(f"[dedup] label propagation hit max_rounds={max_rounds} "
               f"before convergence (very long chain?)", file=sys.stderr)
     return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
+
+
+def minhash_lsh_pairs_joined(ds: ray.data.Dataset, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             threshold: float = 0.5) -> ray.data.Dataset:
+    """The FULLY-DISTRIBUTED lean variant: identical candidates and
+    estimates, but the candidate pair set never touches the driver —
+    candidate ids are semi-joined back to the corpus, signatures are
+    recomputed for those docs, and two hash joins attach sig_a/sig_b to
+    each pair.  Use when the pair set could exceed driver memory; the
+    driver-budget variant (``minhash_lsh_pairs_lean``) is cheaper at
+    moderate pair counts (three fewer join stages)."""
+    bands = ds.map_batches(
+        lambda b: _band_rows_lean(b, id_col, text_col),
+        batch_format="pyarrow")
+    cand = (
+        bands.groupby(["band", "bucket"])
+        .map_groups(_candidate_pairs_from_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"]).count()
+        .drop_columns(["count()"])
+    ).materialize()
+    cand_ids = (
+        cand.map_batches(lambda b: pa.table({
+            "cid": pa.concat_arrays([
+                b.column("doc_a").combine_chunks(),
+                b.column("doc_b").combine_chunks()])}),
+            batch_format="pyarrow")
+        .groupby("cid").count().drop_columns(["count()"])
+    )
+    need = ds.join(cand_ids, join_type="left_semi", num_partitions=4,
+                   on=(id_col,), right_on=("cid",))
+
+    def sign(b: pa.Table) -> pa.Table:
+        sigs = minhash_sig_batch(b.column(text_col).to_pylist())
+        return pa.table({
+            "sid": b.column(id_col),
+            "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary()),
+        })
+
+    sigs = need.map_batches(sign, batch_format="pyarrow")
+    with_a = cand.join(sigs, join_type="inner", num_partitions=4,
+                       on=("doc_a",), right_on=("sid",))
+    with_a = with_a.map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"),
+                            "doc_b": b.column("doc_b"),
+                            "sig_a": b.column("sig")}),
+        batch_format="pyarrow")
+    both = with_a.join(sigs, join_type="inner", num_partitions=4,
+                       on=("doc_b",), right_on=("sid",))
+
+    def estimate(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        sa = np.frombuffer(b"".join(b.column("sig_a").to_pylist()),
+                           dtype=np.uint64).reshape(n, NUM_PERM)
+        sb = np.frombuffer(b"".join(b.column("sig").to_pylist()),
+                           dtype=np.uint64).reshape(n, NUM_PERM)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": b.column("doc_a").filter(pa.array(keep)),
+            "doc_b": b.column("doc_b").filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+        })
+
+    return both.map_batches(estimate, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, key_col: str = "source",
