@@ -19,7 +19,6 @@ import pyarrow.compute as pc
 from ..core import dom as _dom  # noqa: F401  (forces regex compilation at import)
 from ..core.extract import extract_document
 from ..core.stopwords import STOPWORDS  # noqa: F401  (actor-resident state)
-from ..params import GIANT_BYTES, PDF_MAGIC
 from ..schemas import OUT, SPAN, validate_pages_schema
 
 
