@@ -537,7 +537,9 @@ def neardup_clusters_distributed(pairs: ray.data.Dataset,
                   "label": b.column("src"),
               }), batch_format="pyarrow")).materialize()
     prev_sum = labels.sum("label")
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         msgs = edges.join(labels, join_type="inner", num_partitions=4,
                           on=("src",), right_on=("node",))
         msgs = msgs.map_batches(
@@ -549,6 +551,8 @@ def neardup_clusters_distributed(pairs: ray.data.Dataset,
                   .rename_columns({"min(label)": "label"})).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            print(f"[dedup] label propagation converged in {rounds} "
+                  f"rounds", file=sys.stderr)
             break
         prev_sum = cur_sum
     else:
