@@ -115,7 +115,7 @@ class PartitionWorker:
         return pa.Table.from_pylist(metrics_rows)
 
 
-_SHARD_EXTS = (".parquet", ".warc", ".warc.gz")
+_SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl")
 
 
 def _iter_shard_tables(shard: str):
@@ -135,6 +135,30 @@ def _iter_shard_tables(shard: str):
                 rows["warc_ts"].append(ts)
                 rows["html"].append(body)
                 rows["lang"].append("")
+                if len(rows["url"]) >= _ROWGROUP_BATCH:
+                    yield _pages_chunk(rows)
+                    rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            if rows["url"]:
+                yield _pages_chunk(rows)
+        return
+    if shard.endswith(".jsonl"):
+        import base64
+        import datetime as _dt
+        import json as _json
+
+        # line-streamed: memory ≈ one row-group, like the WARC path
+        with open(shard, encoding="utf-8") as fh:
+            rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = _json.loads(line)
+                rows["url"].append(r["url"])
+                rows["warc_ts"].append(
+                    _dt.datetime.fromisoformat(r["warc_ts"]))
+                rows["html"].append(
+                    base64.b64decode(r.get("html_b64", "") or ""))
+                rows["lang"].append(r.get("lang", "") or "")
                 if len(rows["url"]) >= _ROWGROUP_BATCH:
                     yield _pages_chunk(rows)
                     rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
