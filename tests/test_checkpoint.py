@@ -78,3 +78,32 @@ def test_sha_is_order_dependent():
     t1 = pa.table({"t": ["a", "b"]})
     t2 = pa.table({"t": ["b", "a"]})
     assert sha256_of_column(t1, "t") != sha256_of_column(t2, "t")
+
+
+def test_write_atomic_jsonl_roundtrip(tmp_path):
+    """JSONL sink unit: atomic (no .tmp left), nested + timestamp columns
+    survive a json roundtrip."""
+    import datetime as dt
+    import json
+    import os
+
+    from text_extraction_ray.state.checkpoint import write_atomic_jsonl
+
+    t = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "warc_ts": pa.array([dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+                             dt.datetime(2024, 6, 2)],
+                            type=pa.timestamp("us")),
+        "spans": pa.array([[{"start": 0, "end": 4}], []],
+                          type=pa.list_(pa.struct([("start", pa.int64()),
+                                                   ("end", pa.int64())]))),
+        "parse_ok": pa.array([True, False]),
+    })
+    p = str(tmp_path / "d" / "data.jsonl")
+    write_atomic_jsonl(t, p)
+    assert not os.path.exists(p + ".tmp")
+    rows = [json.loads(line) for line in open(p, encoding="utf-8")]
+    assert rows[0]["url"] == "u1"
+    assert rows[0]["warc_ts"] == "2024-01-01T12:00:00.123456"
+    assert rows[0]["spans"] == [{"start": 0, "end": 4}]
+    assert rows[1]["spans"] == [] and rows[1]["parse_ok"] is False
