@@ -84,13 +84,28 @@ def main(argv: list[str] | None = None) -> int:
             shutil.rmtree(d, ignore_errors=True)
 
     if args.refresh_from:
+        import os
+
         from .pipelines.extraction import EXTRACT_COLUMNS, read_pages
         from .pipelines.job import read_output
         from .pipelines.refresh import refresh_extraction
 
+        # accept any pages source format, like the job does
+        names = (os.listdir(args.input) if os.path.isdir(args.input)
+                 else [args.input])
+        if any(n.endswith((".warc", ".warc.gz")) for n in names):
+            from .sources.warc import read_warc_pages
+
+            new_pages = read_warc_pages(args.input)
+        elif any(n.endswith(".jsonl") for n in names):
+            from .sources.jsonl import read_pages_jsonl
+
+            new_pages = read_pages_jsonl(args.input)
+        else:
+            new_pages = read_pages(args.input, columns=EXTRACT_COLUMNS)
+
         merged, n_delta = refresh_extraction(
-            read_output(args.refresh_from),
-            read_pages(args.input, columns=EXTRACT_COLUMNS),
+            read_output(args.refresh_from), new_pages,
             concurrency=args.concurrency or (1, 8))
         merged.write_parquet(args.output)
         json.dump({"mode": "refresh", "delta_extracted": n_delta,
