@@ -121,7 +121,9 @@ _SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl")
 def _iter_shard_tables(shard: str):
     """Row-group/record batches of one input shard; parquet reads prune
     the WET `text` column at the storage layer (it never leaves disk),
-    WARC shards (Common Crawl's native format) parse record-streamed."""
+    WARC shards (Common Crawl's native format) parse gzip-member-streamed,
+    JSONL shards parse line-streamed — every format holds ~one row-group
+    in memory at a time."""
     if shard.endswith((".warc", ".warc.gz")):
         from ..sources.warc import iter_warc_stream
 
