@@ -176,3 +176,47 @@ def test_stale_tmp_files_are_harmless(ray_session, tiny_corpus_dir, tmp_path):
     assert s["partitions_skipped"] == 3
     assert _output_digest(out) == digest
     assert os.path.exists(os.path.join(pdir, "data.parquet"))
+
+
+def test_prepended_shards_do_not_shift_partitions(ray_session, tmp_path):
+    """Round 2 stable shard→pid registry: a shard that sorts BEFORE the
+    existing ones gets a NEW pid — prior partitions are untouched and only
+    the new shard runs (previously a full safe-but-wasteful recompute)."""
+    import shutil
+
+    from text_extraction_ray.sources.synth import gen_corpus
+
+    inp = str(tmp_path / "pre_in")
+    gen_corpus(inp, 60, seed=8, n_shards=3)
+    out = str(tmp_path / "pre_out")
+    ckpt = str(tmp_path / "pre_ckpt")
+    s1 = run_extraction_job(inp, out, ckpt, concurrency=2)
+    assert s1["partitions_run"] == 3
+    digest1 = _output_digest(out)
+    mtimes = {p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
+              for p in os.listdir(out) if p.startswith("part=")}
+
+    extra = str(tmp_path / "pre_extra")
+    gen_corpus(extra, 20, seed=9, n_shards=1)
+    # 'aaa-' sorts before 'part-00000.parquet'
+    shutil.copy(os.path.join(extra, "part-00000.parquet"),
+                os.path.join(inp, "aaa-new-shard.parquet"))
+    s2 = run_extraction_job(inp, out, ckpt, concurrency=2)
+    assert s2["partitions_run"] == 1       # ONLY the prepended shard
+    assert s2["partitions_skipped"] == 3
+    # original partitions were not rewritten
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, p, "data.parquet")) == m
+    # the new shard landed in a NEW partition dir (pid 3)
+    assert os.path.exists(os.path.join(out, "part=00003", "data.parquet"))
+    # prior bytes unchanged
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+    import hashlib
+
+    h = hashlib.sha256()
+    for part in parts[:3]:
+        t = pq.read_table(os.path.join(out, part, "data.parquet"))
+        for url, text in zip(t.column("url").to_pylist(),
+                             t.column("extracted_text").to_pylist()):
+            h.update(url.encode() + b"\x00" + text.encode() + b"\x1e")
+    assert h.hexdigest() == digest1

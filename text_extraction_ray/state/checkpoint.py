@@ -163,12 +163,50 @@ def partition_is_done(ckpt_dir: str, pid: int, output_dir: str,
     return os.path.exists(os.path.join(pdir, fname))
 
 
+def assign_partition_ids(shards: list[str],
+                         ckpt_dir: str) -> list[tuple[int, str]]:
+    """STABLE shard→pid binding (round 2): the first run assigns pids in
+    sorted order (identical to the old positional scheme); later runs
+    look each shard's basename up in a persisted registry and only NEW
+    shards get fresh (appended) pids.  A shard prepended to the sort
+    order therefore no longer shifts every binding — previously that
+    forced a safe-but-wasteful full recompute."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "_shards.json")
+    reg: dict[str, int] = {}
+    try:
+        with open(path) as fh:
+            reg = {k: int(v) for k, v in json.load(fh).items()}
+    except (OSError, json.JSONDecodeError, ValueError):
+        reg = {}
+    next_pid = max(reg.values(), default=-1) + 1
+    changed = False
+    pairs = []
+    for shard in shards:
+        key = os.path.basename(shard)
+        if key not in reg:
+            reg[key] = next_pid
+            next_pid += 1
+            changed = True
+        pairs.append((reg[key], shard))
+    if changed:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(reg, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    return pairs
+
+
 def prune_done(shards: list[str], output_dir: str, ckpt_dir: str,
                output_format: str = "parquet") -> list[tuple[int, str]]:
     """S4: (pid, shard) pairs still pending — driver-side anti-join vs the
-    manifest set (the manifest side is tiny; never a distributed join)."""
+    manifest set (the manifest side is tiny; never a distributed join).
+    pids come from the persistent registry, so resume survives shard-list
+    changes in ANY direction."""
     pending = []
-    for pid, shard in enumerate(shards):
+    for pid, shard in assign_partition_ids(shards, ckpt_dir):
         if not partition_is_done(ckpt_dir, pid, output_dir, [shard],
                                  output_format):
             pending.append((pid, shard))
