@@ -114,10 +114,10 @@ def test_format_change_recomputes(ray_session, tiny_corpus_dir, tmp_path):
 
 
 def test_appending_shards_resumes_incrementally(ray_session, tmp_path):
-    """Operational contract for growing crawls: shards appended AFTER a
-    run (sorting after the existing ones) only process the new work;
-    shards that sort BEFORE existing ones shift the positional pid map
-    and safely recompute (correct, documented as wasteful-not-wrong)."""
+    """Operational contract for growing crawls: appended shards only
+    process the new work (see test_prepended_shards_do_not_shift_partitions
+    for the sort-before case — the stable registry keeps prior bindings
+    there too)."""
     import shutil
 
     from text_extraction_ray.sources.synth import gen_corpus
