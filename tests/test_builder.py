@@ -50,6 +50,13 @@ def test_custom_stage_roundtrip(ray_session, tiny_corpus_dir):
 
 
 def test_seeded_sample_deterministic(ray_session):
+    """Content-keyed sample: identical SET regardless of parallelism or
+    block structure (round 2 — random_sample drew per block, so the row
+    count drifted with num_cpus between driver runs)."""
+    import hashlib
+
+    import ray.data
+
     from text_extraction_ray.pipelines.queries import q_sample_docs
 
     a = sorted(r["doc_id"] for r in q_sample_docs(
@@ -57,7 +64,16 @@ def test_seeded_sample_deterministic(ray_session):
     b = sorted(r["doc_id"] for r in q_sample_docs(
         "/root/testdata/sf0.001").take_all())
     assert a == b
-    assert 10 < len(a) < 100
+    # exact expected membership: pure function of the ids
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    want = sorted(
+        i for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) < 26)
+    assert a == want
+    assert len(a) > 0
 
 
 def test_round2_stages_compose(ray_session):

@@ -406,11 +406,20 @@ GROUP BY c_nationkey
 
 
 def q_sample_docs(sf_dir: str) -> ray.data.Dataset:
-    """K3: seeded sample (rows-only check; fraction fixed, seed=42)."""
-    return (
-        read_table(sf_dir, "documents", ["doc_id"])
-        .random_sample(0.1, seed=42)
-    )
+    """K3: deterministic ~10% sample, CONTENT-keyed (md5 of the id) so
+    the selected set is identical at any parallelism / block structure —
+    Ray's random_sample(seed=...) draws per block, which made the row
+    count drift with num_cpus between driver runs (round 2 fix)."""
+    import hashlib
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) < 26
+                for i in ids]  # 26/256 ≈ 10.2%, pure function of the id
+        return b.filter(pa.array(keep))
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(pick, **_PYA))
 
 
 # --- training-data operators over documents/embeddings ---------------------
