@@ -25,7 +25,19 @@ ADVERSARIAL = [
     "<noscript><p>hidden</p></noscript><p>vis</p>",
     "<script>var a = '</scr' + 'ipt>'</script>ok",
     "<p>x</p" ,                               # truncated close
+    "<br><<br>< ",                            # r2 judge counterexample: bare '<'
+    "<br><<br><br>x",                         # must reset br_run (one block)
+    "a<br><<br>b",
 ]
+
+
+def test_bare_lt_resets_br_run():
+    """Round-2 judge counterexample: a bare '<' between two single <br>s is
+    non-whitespace text, so it must reset the br run — ONE block '< <', not
+    two blocks '<','<' (html_extract.py bare-'<' branches)."""
+    blocks = segment_blocks("<br><<br>< ")
+    assert [b.text for b in blocks] == ["< <"]
+    _cmp("<br><<br>< ")
 
 
 def _cmp(doc: str) -> None:

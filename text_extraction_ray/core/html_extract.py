@@ -216,8 +216,10 @@ def segment_blocks(doc: str) -> list[Block]:
             if lt < 0:
                 break
         if lt + 1 >= n:
-            # trailing bare '<'
+            # trailing bare '<' — non-whitespace text, so it resets the
+            # br run exactly like the reference's text-token branch
             if not skip_depth:
+                br_run = 0
                 if not parts:
                     path_at_open = "/".join(stack)
                 parts.append("<")
@@ -359,8 +361,11 @@ def segment_blocks(doc: str) -> list[Block]:
             end = find(">", lt)
             i = n if end < 0 else end + 1
             continue
-        # '<' followed by junk → literal text
+        # '<' followed by junk → literal text; non-whitespace, so it
+        # resets the br run exactly like the reference's text-token branch
+        # (regression: '<br><<br>< ' must stay ONE block, not two)
         if not skip_depth:
+            br_run = 0
             if not parts:
                 path_at_open = "/".join(stack)
             parts.append("<")
