@@ -233,3 +233,52 @@ def test_rows_only_schemas_pinned(registry):
     for name, want in _ROWS_ONLY_SCHEMAS.items():
         df = _to_pandas(qs[name](SF_DIR))
         assert sorted(df.columns) == want, name
+
+
+def test_doc_top_terms_distributed_plan_is_exact():
+    """Round-3 scale fix: the df side must stay DISTRIBUTED (native hash
+    join), never a whole-vocabulary driver broadcast.  Exactness is pinned
+    against a pure-pandas recomputation of (tf DESC, df ASC, token ASC)
+    top-3 + 6dp tf-idf; the tiny-vocab corpus (31 tokens across 500 docs)
+    also exercises the empty-reduce-partition blocks that broke acero's
+    join before the repartition() absorb."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from text_extraction_ray.pipelines.queries_ext import q_doc_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_top_terms(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    n_docs = len(docs)
+    df_counts: Counter = Counter()
+    per_doc = {}
+    for row in docs:
+        tf = Counter((row["text"] or "").split())
+        per_doc[row["doc_id"]] = tf
+        df_counts.update(tf.keys())
+    rows = []
+    for doc_id, tf in per_doc.items():
+        ranked = sorted(tf.items(),
+                        key=lambda kv: (-kv[1], df_counts[kv[0]], kv[0]))[:3]
+        for tok, n in ranked:
+            rows.append({
+                "doc_id": doc_id, "token": tok, "tf": n,
+                "df": df_counts[tok],
+                "tfidf": round(n * math.log(n_docs / df_counts[tok]), 6),
+            })
+    want = (pd.DataFrame(rows)
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "token", "tf", "df", "tfidf"]].astype(want.dtypes),
+        want)
