@@ -188,3 +188,80 @@ def test_decoder_routes_corrupt_media_to_error_column(ray_session):
     assert (~out["decode_ok"]).all()
     assert out["error"].str.len().gt(0).all()
     assert "no codec" in out.iloc[2]["error"]  # jpeg: honest unsupported
+
+
+def test_unfilter_rgb_average_paeth_exact():
+    """bpp=3 lane scans for filters 3/4 (round-3 list-scan rewrite) must
+    recover every byte exactly — encoded here with an independent scalar
+    reference filterer."""
+    import numpy as np
+
+    from text_extraction_ray.core.raster import _unfilter
+
+    rng = np.random.default_rng(1)
+    W, H, bpp = 37, 23, 3
+    img = rng.integers(0, 256, size=(H, W * bpp), dtype=np.uint8)
+    for ft in (3, 4):
+        raw = bytearray()
+        prev = np.zeros(W * bpp, np.int32)
+        for y in range(H):
+            row = img[y].astype(np.int32)
+            filt = np.empty(W * bpp, np.int32)
+            for x in range(W * bpp):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if (pa <= pb and pa <= pc)
+                            else (up if pb <= pc else ul))
+                filt[x] = (row[x] - pred) % 256
+            raw.append(ft)
+            raw += filt.astype(np.uint8).tobytes()
+            prev = row
+        out = _unfilter(bytes(raw), W, H, bpp)
+        assert (out == img).all(), f"filter {ft}"
+
+
+def test_unfilter_mixed_filters_per_row():
+    """A stream that switches filter type on every scanline (as real
+    encoders do) must still decode exactly."""
+    import numpy as np
+
+    from text_extraction_ray.core.raster import _unfilter
+
+    rng = np.random.default_rng(2)
+    W, H = 61, 20
+    img = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(W, np.int32)
+    for y in range(H):
+        ft = y % 5
+        row = img[y].astype(np.int32)
+        filt = np.empty(W, np.int32)
+        for x in range(W):
+            left = row[x - 1] if x >= 1 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (left if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else ul))
+            filt[x] = (row[x] - pred) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    out = _unfilter(bytes(raw), W, H, 1)
+    assert (out == img).all()
