@@ -731,13 +731,17 @@ def queries() -> dict:
     base.update(queries_ext())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
-    # rows-only queries ranked: extraction-surface pipelines first (their
-    # driver row is the only external record), then ops whose semantics a
-    # pytest already pins, then variants redundant with an oracled twin
-    # (ann_lsh/ann_ivf vs oracled ann_top10) — so a cap drops the most
-    # redundant checks last-to-first
-    priority = ["extract_pages", "explain_blocks", "html_tables",
-                "pdf_tables", "extract_embed_neardup", "neardup_clusters",
+    # rows-only queries ranked: extraction-surface pipelines whose driver
+    # row is the ONLY external record first (extract_pages is the flagship;
+    # pdf_tables has no oracled twin and its grid semantics live in binary
+    # PDFs no SQL engine can parse — VERDICT-r2 missing #1), then ops a
+    # pytest already pins (explain_blocks reassembly, html_tables), then
+    # variants redundant with an oracled twin (ann_lsh/ann_ivf vs oracled
+    # ann_top10; minhash/simhash vs oracled ngram_jaccard) — so a cap
+    # drops the most redundant checks last-to-first.  neardup_clusters
+    # moved to the ORACLED group in round 3 (recursive-CTE oracle).
+    priority = ["extract_pages", "pdf_tables", "explain_blocks",
+                "html_tables", "extract_embed_neardup",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",

@@ -1150,12 +1150,34 @@ def q_events_adaptive_sum(sf_dir: str) -> ray.data.Dataset:
 
 def q_neardup_clusters(sf_dir: str) -> pa.Table:
     """Pairs → clusters (the keep/drop list): union-find over the oracled
-    embed_neardup pair set, cluster id = smallest member.  Rows-only (the
-    pair set itself is the oracled artifact)."""
+    embed_neardup pair set, cluster id = smallest member.  ORACLED since
+    round 3: connected components with min-member labels are expressible
+    as a recursive CTE over the same pair SQL (label walk + groupby-min),
+    so the driver hash-checks the full (doc_id, cluster_id) table."""
     from ..functions.dedup import neardup_clusters
     from .queries import q_embed_neardup
 
     return neardup_clusters(q_embed_neardup(sf_dir))
+
+
+SQL_NEARDUP_CLUSTERS = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+walk (node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node
+"""
 
 
 # --- chained broadcast joins over the last uncovered tables -----------------
@@ -1285,6 +1307,7 @@ def queries_ext() -> dict:
 
 def oracle_sql_ext() -> dict[str, str]:
     return {
+        "neardup_clusters": SQL_NEARDUP_CLUSTERS,
         "topn_per_lang": SQL_TOPN_PER_LANG,
         "nation_revenue": SQL_NATION_REVENUE,
         "cust_no_bigorder": SQL_CUST_NO_BIGORDER,
