@@ -265,3 +265,37 @@ def test_unfilter_mixed_filters_per_row():
         prev = row
     out = _unfilter(bytes(raw), W, H, 1)
     assert (out == img).all()
+
+
+def test_jpeg_and_gif_sniffed_and_routed_precisely(ray_session):
+    """Round-3: FFD8/GIF8xa payloads must land in the error column with a
+    codec-specific reason (not 'unknown'/'no codec'), whatever the
+    declared media_type says."""
+    import ray.data
+
+    from text_extraction_ray.core.raster import sniff_raster
+    from text_extraction_ray.functions.multimodal import FakeMediaDecoder
+
+    jfif = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 32
+    exif = b"\xff\xd8\xff\xe1\x00\x20Exif\x00\x00" + b"\x00" * 32
+    gif = b"GIF89a" + b"\x00" * 16
+    assert sniff_raster(jfif) == "image/jpeg"
+    assert sniff_raster(exif) == "image/jpeg"
+    assert sniff_raster(gif) == "image/gif"
+    assert sniff_raster(b"\xff\xd8\x00") is None  # SOI alone isn't enough
+
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "media": pa.array([jfif, exif, gif], type=pa.binary()),
+        # declared types are wrong/unknown — the sniffer must still route
+        "media_type": pa.array(["unknown", "application/octet-stream",
+                                "unknown"], type=pa.string()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(FakeMediaDecoder, concurrency=1, batch_size=4,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("media_id"))
+    assert (~out["decode_ok"]).all()
+    assert out.iloc[0]["error"].startswith("jpeg: recognized")
+    assert out.iloc[1]["error"].startswith("jpeg: recognized")
+    assert out.iloc[2]["error"].startswith("gif: recognized")

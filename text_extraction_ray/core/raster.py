@@ -299,11 +299,19 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 # --- shared helpers --------------------------------------------------------
 
 def sniff_raster(data: bytes) -> str | None:
-    """'image/bmp' | 'image/png' | None by magic bytes."""
+    """'image/bmp' | 'image/png' | 'image/jpeg' | 'image/gif' | None by
+    magic bytes.  JPEG/GIF have no decoder in this sandbox, but sniffing
+    them lets the decode stage route such payloads to the error column
+    with a precise reason instead of 'unknown' (VERDICT-r2 missing #5).
+    JPEG = FFD8FF (covers JFIF, EXIF, raw-SOI crawl variants)."""
     if data.startswith(b"BM"):
         return "image/bmp"
     if data.startswith(_PNG_SIG):
         return "image/png"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return "image/gif"
     return None
 
 

@@ -28,6 +28,7 @@ from ..core.raster import (
     encode_bmp,
     encode_png,
     resize_gray,
+    sniff_raster,
 )
 
 FAKE_MEDIA_TYPE = "application/x-fake-image"
@@ -128,6 +129,22 @@ def _decode_any(media_type: str, payload: bytes) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if media_type == PNG_MEDIA_TYPE:
         return decode_png(payload)
+    # Unknown/missing declared type: sniff the payload so the error column
+    # carries a PRECISE reason — a mislabelled crawl JPEG reads
+    # "jpeg: recognized but no decoder", not "no codec for 'unknown'".
+    sniffed = sniff_raster(payload)
+    if sniffed == "image/jpeg":
+        raise NotImplementedError(
+            "jpeg: recognized (FFD8 magic) but no JPEG decoder in this "
+            "environment — plug PIL/libjpeg here")
+    if sniffed == "image/gif":
+        raise NotImplementedError(
+            "gif: recognized (GIF8xa magic) but no GIF decoder in this "
+            "environment — plug PIL here")
+    if sniffed is not None and sniffed != media_type:
+        raise NotImplementedError(
+            f"payload sniffs as {sniffed!r} but is declared "
+            f"{media_type!r} — no codec route")
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment — "
         "plug a real decoder here (PIL/ffmpeg)")
