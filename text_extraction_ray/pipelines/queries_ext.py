@@ -361,27 +361,19 @@ SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders FROM (
 def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
     """Sessionize each user's event stream with a 30-minute inactivity gap
     — the windowed operator Ray Data lacks natively, composed as
-    hash-shuffle on the key + an ordered scan INSIDE each group.
-    PARTITIONING ASSUMPTION: one user's events fit one group (true for
-    event streams keyed by user; a hot key would need time-bucketing)."""
+    hash-shuffle on the key + an ordered scan INSIDE each group.  Round 3:
+    the documented hot-key fallback is implemented — keys above a sampled
+    frequency share are sub-keyed by time bucket and per-bucket session
+    counts merge with an exact boundary correction
+    (functions/window_skew.py), so one user owning half the stream no
+    longer lands in one reducer."""
     import datetime as _dt
 
-    gap = _dt.timedelta(minutes=30)
+    from ..functions.window_skew import sessionize_bucketed
 
-    def sessions(g: pa.Table) -> pa.Table:
-        ts = sorted(g.column("ts").to_pylist())
-        n_sessions = 1 + sum(1 for a, b in zip(ts, ts[1:]) if (b - a) > gap)
-        return pa.table({
-            "user_id": g.column("user_id").slice(0, 1),
-            "n_sessions": pa.array([n_sessions], type=pa.int64()),
-            "n_events": pa.array([len(ts)], type=pa.int64()),
-        })
-
-    return (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, **_PYA)
-    )
+    return sessionize_bucketed(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id", ts_col="ts", gap=_dt.timedelta(minutes=30))
 
 
 SQL_USER_SESSIONS = """
@@ -786,43 +778,30 @@ def q_events_asof(sf_dir: str) -> ray.data.Dataset:
     """AS-OF JOIN — the custom operator Ray Data lacks natively: each
     'click' event joins the same user's most recent 'purchase' value at or
     before it (ordering key (ts, event_id)).  Composition: filter to the
-    two event types at the read (shuffle carries only relevant rows) →
-    hash shuffle on user_id → vectorized ordered scan inside each group
-    (numpy lexsort + forward-fill of purchase indices).  PARTITIONING
-    ASSUMPTION: one user's stream fits one group — the same assumption as
-    user_sessions; a hot user would need time-bucketed sub-keys."""
-
-    def asof(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(g.column("event_type").to_pylist())
-        val = g.column("value").to_numpy(zero_copy_only=False)
-        uid = g.column("user_id")[0].as_py()
-        order = np.lexsort((eid, ts))
-        ts, eid, et, val = ts[order], eid[order], et[order], val[order]
-        pidx = np.where(et == "purchase", np.arange(len(et)), -1)
-        pidx = np.maximum.accumulate(pidx)          # last purchase so far
-        keep = (et == "click") & (pidx >= 0)
-        return pa.table({
-            "event_id": pa.array(eid[keep], type=pa.int64()),
-            "user_id": pa.array(
-                np.full(int(keep.sum()), uid, dtype=np.int64)),
-            "last_purchase_value": pa.array(
-                val[pidx[keep]], type=pa.float64()),
-        })
+    two event types at the read (shuffle carries only relevant rows) ->
+    hash shuffle on user_id -> vectorized ordered scan inside each group.
+    Round 3: the documented hot-key fallback is implemented - keys above
+    a sampled frequency share are sub-keyed by time bucket; each bucket's
+    last-purchase carry forward-fills over the tiny per-key summary table
+    and re-joins as the bucket's seed (functions/window_skew.py), so group
+    size is bounded by the bucket, never by the key's volume.  The output
+    column naming last_purchase_value = last_<value_col> keeps the oracle
+    twin unchanged."""
+    from ..functions.window_skew import asof_join_bucketed
 
     def pick(b: pa.Table) -> pa.Table:
         mask = pc.is_in(b.column("event_type"),
                         value_set=pa.array(["click", "purchase"]))
         return b.filter(mask)
 
-    return (
+    return asof_join_bucketed(
         _read(sf_dir, "events",
               ["event_id", "ts", "user_id", "event_type", "value"])
-        .map_batches(pick, **_PYA)
-        .groupby("user_id")
-        .map_groups(asof, **_PYA)
-    )
+        .map_batches(pick, **_PYA),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", value_col="value",
+        left_type="click", right_type="purchase",
+        out_col="last_purchase_value")
 
 
 SQL_EVENTS_ASOF = """
