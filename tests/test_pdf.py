@@ -174,3 +174,92 @@ def test_writer_pdfs_unaffected_by_robustness_paths():
     for compress in (False, True):
         r = extract_pdf(build_pdf([pg], compress=compress))
         assert "plain direct-length page" in r["extracted_text"]
+
+
+# --- round 3: ToUnicode / Differences single-byte font encodings ------------
+
+UNI_LINES = ["Élan: le café brûlé coûte 3€, déjà réglé.",
+             "Grüße aus München — schöne Straße!",
+             "naïve fiancée, piñata, smörgåsbord"]
+
+
+def test_tounicode_cmap_roundtrip():
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import (
+        PageBuilder,
+        build_pdf,
+        make_code_map,
+    )
+
+    cmap = make_code_map(UNI_LINES)
+    for compress in (False, True):
+        pb = PageBuilder()
+        pb.text_lines_encoded(UNI_LINES, cmap)
+        pdf = build_pdf([pb], compress=compress, code_map=cmap,
+                        encoding_style="tounicode")
+        out = extract_pdf(pdf)
+        assert out["parse_ok"]
+        assert out["extracted_text"] == " ".join(UNI_LINES)
+
+
+def test_differences_uniXXXX_roundtrip():
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import (
+        PageBuilder,
+        build_pdf,
+        make_code_map,
+    )
+
+    cmap = make_code_map(UNI_LINES)
+    pb = PageBuilder()
+    pb.text_lines_encoded(UNI_LINES, cmap)
+    pdf = build_pdf([pb], code_map=cmap, encoding_style="differences")
+    assert extract_pdf(pdf)["extracted_text"] == " ".join(UNI_LINES)
+
+
+def test_differences_agl_names():
+    """Hand-written /Differences with AGL glyph names (not uniXXXX)."""
+    from text_extraction_ray.core.pdf import _font_maps, _parse_objects
+
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"4 0 obj\n<< /Length 35 >>\nstream\n"
+           b"BT /F1 11 Tf 72 720 Td <e9e8e7> Tj ET\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+           b"/Encoding << /Type /Encoding /Differences "
+           b"[ 233 /eacute /egrave 231 /ccedilla ] >> >>\nendobj\n"
+           b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    maps = _font_maps(_parse_objects(pdf))
+    assert maps["/F1"][0xE9] == "é"
+    assert maps["/F1"][0xEA] == "è"   # name after 233 takes 234
+    assert maps["/F1"][0xE7] == "ç"
+    from text_extraction_ray.core.pdf import extract_pdf
+
+    assert extract_pdf(pdf)["extracted_text"] == "éèç"
+
+
+def test_bfrange_triple_and_array_forms():
+    from text_extraction_ray.core.pdf import _parse_tounicode
+
+    data = (b"1 beginbfrange <41> <43> <0061> endbfrange\n"
+            b"1 beginbfrange <80> <82> [<00e9> <00e8> <00e7>] endbfrange\n"
+            b"1 beginbfchar <90> <20ac> endbfchar\n")
+    m = _parse_tounicode(data)
+    assert (m[0x41], m[0x42], m[0x43]) == ("a", "b", "c")
+    assert (m[0x80], m[0x81], m[0x82]) == ("é", "è", "ç")
+    assert m[0x90] == "€"
+
+
+def test_fonts_without_maps_keep_latin1_passthrough():
+    """Legacy fixtures (plain /Helvetica, no ToUnicode/Differences) must
+    extract byte-for-byte as before the round-3 change."""
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import PageBuilder, build_pdf
+
+    pb = PageBuilder()
+    pb.text_lines(["plain ascii body line one", "and line two"])
+    out = extract_pdf(build_pdf([pb]))
+    assert out["extracted_text"] == "plain ascii body line one and line two"

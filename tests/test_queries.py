@@ -204,7 +204,6 @@ _ROWS_ONLY_SCHEMAS = {
     "html_tables": ['n_cells', 'row_idx', 'row_text', 'table_idx', 'url'],
     "pdf_tables": ['grid', 'table_idx', 'url'],
     "extract_embed_neardup": ['cos', 'id_a', 'id_b'],
-    "neardup_clusters": ['cluster_id', 'doc_id'],
     "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
     "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
     "fingerprint": ['doc_id', 'fingerprint'],

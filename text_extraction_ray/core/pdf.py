@@ -71,6 +71,157 @@ def _unescape_pdf_string(s: str) -> str:
     return _STR_ESC_RE.sub(repl, s)
 
 
+# --- font encodings: ToUnicode CMaps + /Differences (round 3) ---------------
+# Supported subset (VERDICT-r2 next #5): SINGLE-BYTE codes only — simple
+# ToUnicode bfchar/bfrange entries (UTF-16BE destinations) and /Encoding
+# dictionaries carrying /Differences with uniXXXX/uXXXX or common-AGL glyph
+# names.  Multi-byte CID fonts stay out of scope and degrade to the
+# latin-1 passthrough, exactly as before.
+
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_BIND_RE = re.compile(rb"/([A-Za-z0-9#._\-]+)\s+(\d+)\s+\d+\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+_BFRANGE_ARR_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]")
+_BFRANGE_TRIPLE_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9#._\-]+)")
+
+# tiny Adobe-Glyph-List subset: enough for Latin accents the synthetic
+# corpus and common European crawl text use; uniXXXX names cover the rest
+_AGL_SUBSET = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "comma": ",", "hyphen": "-", "period": ".",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "adieresis": "ä", "ccedilla": "ç", "ntilde": "ñ",
+    "odieresis": "ö", "oacute": "ó", "ucircumflex": "û",
+    "udieresis": "ü", "uacute": "ú", "igrave": "ì",
+    "iacute": "í", "idieresis": "ï", "oslash": "ø",
+    "aring": "å", "ae": "æ", "germandbls": "ß",
+    "Eacute": "É", "Agrave": "À", "Ccedilla": "Ç",
+    "Odieresis": "Ö", "Udieresis": "Ü", "Adieresis": "Ä",
+    "euro": "€", "bullet": "•", "emdash": "—",
+    "endash": "–", "quotedblleft": "“",
+    "quotedblright": "”", "quoteleft": "‘",
+    "quoteright": "’",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """Glyph name → unicode: uniXXXX / uXXXX[XX] forms, AGL subset,
+    single-char names map to themselves."""
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    if name in _AGL_SUBSET:
+        return _AGL_SUBSET[name]
+    if len(name) == 1:
+        return name
+    return None
+
+
+def _utf16be(hexs: bytes) -> str:
+    h = hexs.decode("ascii")
+    if len(h) % 4:
+        h = h.ljust((len(h) + 3) // 4 * 4, "0")
+    try:
+        return bytes.fromhex(h).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """bfchar/bfrange blocks → {single-byte code: unicode str}."""
+    cmap: dict[int, str] = {}
+    for blk in _BFRANGE_RE.finditer(data):
+        body = blk.group(1)
+        for am in _BFRANGE_ARR_RE.finditer(body):
+            lo, hi = int(am.group(1), 16), int(am.group(2), 16)
+            dsts = _HEX_TOK_RE.findall(am.group(3))
+            for i, d in enumerate(dsts):
+                if lo + i <= hi and lo + i <= 0xFF:
+                    cmap[lo + i] = _utf16be(d)
+        body_wo_arrays = _BFRANGE_ARR_RE.sub(b"", body)
+        for tm in _BFRANGE_TRIPLE_RE.finditer(body_wo_arrays):
+            lo, hi = int(tm.group(1), 16), int(tm.group(2), 16)
+            base = _utf16be(tm.group(3))
+            if not base or hi < lo:
+                continue
+            start = ord(base[-1])
+            for code in range(lo, min(hi, 0xFF) + 1):
+                cmap[code] = base[:-1] + chr(start + code - lo)
+    for blk in _BFCHAR_RE.finditer(data):
+        hexes = _HEX_TOK_RE.findall(blk.group(1))
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            code = int(src, 16)
+            if code <= 0xFF:
+                cmap[code] = _utf16be(dst)
+    return cmap
+
+
+def _parse_differences(enc_body: bytes) -> dict[int, str]:
+    """/Differences [ code /name /name code /name ... ] → byte map."""
+    dm = _DIFF_RE.search(enc_body)
+    if not dm:
+        return {}
+    cmap: dict[int, str] = {}
+    code = 0
+    for tok in _DIFF_TOK_RE.finditer(dm.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            continue
+        ch = _glyph_to_char(tok.group(2).decode("ascii", "replace"))
+        if ch is not None and code <= 0xFF:
+            cmap[code] = ch
+        code += 1
+    return cmap
+
+
+def _font_maps(objects: dict[int, tuple[bytes, bytes | None]]
+               ) -> dict[str, dict[int, str]]:
+    """Resource font name ('/F1') → byte-code→unicode map, for every font
+    bound in any /Font resource dict.  ToUnicode wins over /Differences
+    (the PDF spec's own precedence for text extraction); fonts with
+    neither get no entry and keep the latin-1 passthrough."""
+    binds: dict[str, int] = {}
+    for _num, (hdr, _s) in sorted(objects.items()):
+        for fm in _FONT_DICT_RE.finditer(hdr):
+            for bm in _FONT_BIND_RE.finditer(fm.group(1)):
+                binds[bm.group(1).decode("ascii", "replace")] = \
+                    int(bm.group(2))
+    maps: dict[str, dict[int, str]] = {}
+    for name, onum in binds.items():
+        if onum not in objects:
+            continue
+        fhdr = objects[onum][0]
+        cmap: dict[int, str] = {}
+        tm = _TOUNI_RE.search(fhdr)
+        if tm and int(tm.group(1)) in objects:
+            cmap = _parse_tounicode(objects[int(tm.group(1))][1] or b"")
+        if not cmap:
+            em = _ENC_REF_RE.search(fhdr)
+            enc_body = (objects[int(em.group(1))][0]
+                        if em and int(em.group(1)) in objects else fhdr)
+            cmap = _parse_differences(enc_body)
+        if cmap:
+            maps["/" + name] = cmap
+    return maps
+
+
 def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """Scan ``N g obj ... endobj`` bodies → {num: (header, stream_bytes)}.
 
@@ -212,8 +363,14 @@ class _Run:
         self.text = text
 
 
-def _interpret(stream: bytes) -> tuple[list[_Run], list[tuple[float, float, float, float]]]:
-    """Execute the content-stream subset → (text runs, filled/stroked rects)."""
+def _interpret(stream: bytes,
+               fonts: dict[str, dict[int, str]] | None = None
+               ) -> tuple[list[_Run], list[tuple[float, float, float, float]]]:
+    """Execute the content-stream subset → (text runs, filled/stroked rects).
+
+    ``fonts``: resource-name → byte→unicode maps from ``_font_maps``;
+    ``Tf`` selects the active map and show operators decode through it
+    (fonts without a map keep the latin-1 passthrough)."""
     text = stream.decode("latin-1", "replace")
     runs: list[_Run] = []
     rects: list[tuple[float, float, float, float]] = []
@@ -222,6 +379,7 @@ def _interpret(stream: bytes) -> tuple[list[_Run], list[tuple[float, float, floa
     cx = cy = 0.0       # current position
     leading = 0.0
     in_text = False
+    cur_map: dict[int, str] | None = None
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0)
         c0 = tok[0]
@@ -276,19 +434,31 @@ def _interpret(stream: bytes) -> tuple[list[_Run], list[tuple[float, float, floa
                 if stack and stack[-1][0] == "num":
                     leading = stack[-1][1]
                 stack.clear()
+            elif op == "Tf":
+                if len(stack) >= 2 and stack[-2][0] == "name":
+                    cur_map = fonts.get(stack[-2][1]) if fonts else None
+                stack.clear()
             elif op == "Tj":
                 if in_text and stack and stack[-1][0] == "str":
                     s = stack[-1][1]
                     if s:
-                        runs.append(_Run(cx, cy, s))
-                        cx += 5.5 * len(s)  # nominal advance
+                        shown = ("".join(cur_map.get(ord(c), c) for c in s)
+                                 if cur_map else s)
+                        if shown:
+                            runs.append(_Run(cx, cy, shown))
+                        # advance by the RAW code count (glyph count),
+                        # not the mapped length — geometry is per glyph
+                        cx += 5.5 * len(s)
                 stack.clear()
             elif op == "TJ":
                 if in_text:
                     parts = [v for k, v in stack if k == "str"]
                     s = "".join(parts)
                     if s:
-                        runs.append(_Run(cx, cy, s))
+                        shown = ("".join(cur_map.get(ord(c), c) for c in s)
+                                 if cur_map else s)
+                        if shown:
+                            runs.append(_Run(cx, cy, shown))
                         cx += 5.5 * len(s)
                 stack.clear()
             elif op == "re":
@@ -489,9 +659,10 @@ def pdf_tables(payload: bytes) -> list[str]:
     then reading order — symmetric to functions/html_tables.render_tables
     so both document types expose their tabular data the same way."""
     objects = _parse_objects(payload)
+    fonts = _font_maps(objects)
     grids: list[str] = []
     for stream in _page_content_streams(payload, objects):
-        runs, rects = _interpret(stream)
+        runs, rects = _interpret(stream, fonts)
         tables, _ = _detect_tables(rects, runs)
         tables.sort(key=lambda g: (-g.top, g.left))
         grids.extend(t.text for t in tables if t.text)
@@ -506,11 +677,12 @@ def extract_pdf(payload: bytes) -> dict:
     SS2.3(b)).  Pages and regions join with JOINER.
     """
     objects = _parse_objects(payload)
+    fonts = _font_maps(objects)
     streams = _page_content_streams(payload, objects)
     page_texts: list[str] = []
     n_regions = 0
     for stream in streams:
-        runs, rects = _interpret(stream)
+        runs, rects = _interpret(stream, fonts)
         tables, leftover = _detect_tables(rects, runs)
         texts = _text_regions(leftover)
         regions = tables + texts

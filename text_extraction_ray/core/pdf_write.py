@@ -56,6 +56,18 @@ class PageBuilder:
                 f"({_esc(line)}) Tj ET"
             )
 
+    def text_lines_encoded(self, lines: list[str], cmap: dict[str, int],
+                           x: float = LEFT_X) -> None:
+        """Paragraph shown as hex strings under a custom single-byte code
+        map (pair with build_pdf(code_map=...))."""
+        for line in lines:
+            self.ops.append(
+                f"BT /F1 11 Tf {x:.1f} {self.y:.1f} Td "
+                f"{encode_text(line, cmap)} Tj ET"
+            )
+            self.y -= LINE_LEADING
+        self.y -= REGION_GAP - LINE_LEADING
+
     def table(self, rows: list[list[str]], x: float = LEFT_X) -> None:
         """Fully ruled cell grid + cell text — the reference's tabular case."""
         n_rows = len(rows)
@@ -85,8 +97,79 @@ class PageBuilder:
         return "\n".join(self.ops).encode("latin-1", "replace")
 
 
-def build_pdf(pages: list[PageBuilder], compress: bool = False) -> bytes:
-    """Assemble a complete PDF with xref table and trailer."""
+# --- non-ASCII text via single-byte custom encodings (round 3) --------------
+# Closed under core/pdf.py's ToUnicode + /Differences subset: non-ASCII
+# chars get codes 128.. and the mapping is declared either as a ToUnicode
+# CMap stream (bfrange identity for ASCII + bfchar per custom code) or as
+# an /Encoding /Differences array of uniXXXX glyph names.
+
+def make_code_map(texts: list[str]) -> dict[str, int]:
+    """char → single-byte code: printable ASCII is identity, every other
+    char takes the next free code from 128 (deterministic: sorted)."""
+    cmap: dict[str, int] = {}
+    nxt = 128
+    for ch in sorted({c for t in texts for c in t}):
+        if 32 <= ord(ch) < 127:
+            cmap[ch] = ord(ch)
+        else:
+            if nxt > 255:
+                raise ValueError("more than 128 distinct non-ASCII chars")
+            cmap[ch] = nxt
+            nxt += 1
+    return cmap
+
+
+def encode_text(s: str, cmap: dict[str, int]) -> str:
+    """Hex-string form of ``s`` under the custom code map."""
+    return "<" + "".join(f"{cmap[c]:02x}" for c in s) + ">"
+
+
+def tounicode_cmap(cmap: dict[str, int]) -> bytes:
+    """Minimal ToUnicode CMap: ASCII identity bfrange + one bfchar per
+    custom code (UTF-16BE destinations)."""
+    chars = [(code, ch) for ch, code in sorted(cmap.items(),
+                                               key=lambda kv: kv[1])
+             if code >= 128]
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin begincmap",
+        "1 begincodespacerange <00> <ff> endcodespacerange",
+        "1 beginbfrange <20> <7e> <0020> endbfrange",
+    ]
+    if chars:
+        lines.append(f"{len(chars)} beginbfchar")
+        for code, ch in chars:
+            dst = ch.encode("utf-16-be").hex()
+            lines.append(f"<{code:02x}> <{dst}>")
+        lines.append("endbfchar")
+    lines += ["endcmap end end"]
+    return "\n".join(lines).encode("ascii")
+
+
+def differences_array(cmap: dict[str, int]) -> str:
+    """/Differences entry naming each custom code as uniXXXX."""
+    parts = []
+    prev = None
+    for code, ch in sorted(((code, ch) for ch, code in cmap.items()
+                            if code >= 128)):
+        if prev is None or code != prev + 1:
+            parts.append(str(code))
+        parts.append(f"/uni{ord(ch):04X}")
+        prev = code
+    return "[ " + " ".join(parts) + " ]"
+
+
+def build_pdf(pages: list[PageBuilder], compress: bool = False,
+              code_map: dict[str, int] | None = None,
+              encoding_style: str = "tounicode") -> bytes:
+    """Assemble a complete PDF with xref table and trailer.
+
+    ``code_map``: char→code map from ``make_code_map``; when given, /F1
+    becomes a custom single-byte font whose mapping is declared per
+    ``encoding_style`` — 'tounicode' (CMap stream) or 'differences'
+    (/Encoding /Differences with uniXXXX names).  Content built with
+    ``encode_text`` then round-trips through core/pdf.py as unicode.
+    """
     objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -111,9 +194,25 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False) -> bytes:
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )  # font
+    if code_map is None:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )  # font
+    elif encoding_style == "tounicode":
+        cmap_data = tounicode_cmap(code_map)
+        objects.append(
+            (f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+             f"/ToUnicode {font_num + 1} 0 R >>").encode())
+        objects.append(
+            f"<< /Length {len(cmap_data)} >>".encode()
+            + b"\nstream\n" + cmap_data + b"\nendstream")
+    elif encoding_style == "differences":
+        objects.append(
+            (f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+             f"/Encoding << /Type /Encoding /Differences "
+             f"{differences_array(code_map)} >> >>").encode())
+    else:
+        raise ValueError(f"unknown encoding_style {encoding_style!r}")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

@@ -181,10 +181,25 @@ def _adversarial_html(rng: random.Random, lang: str) -> bytes:
     return data
 
 
+# non-ASCII PDF paragraphs (corpus v=3): shown under a custom single-byte
+# encoding declared as ToUnicode or /Differences — exercises the round-3
+# font-CMap subset in core/pdf.py end to end
+_PDF_UNI_LINES = [
+    "Résumé: café déjà vu — naïve façade près du musée",
+    "Größe und Straße: schöne Grüße aus München",
+    "Español: años de diseño, la niña pequeña",
+    "русский текст: пример обработки данных",
+    "日本語 テスト 抽出 処理 結果",
+]
+
+
 def _pdf_payload(rng: random.Random) -> bytes:
     n_pages = rng.randint(1, 3)
+    unicode_lines: list[str] | None = None
+    if rng.random() < 0.35:
+        unicode_lines = [rng.choice(_PDF_UNI_LINES) for _ in range(2)]
     pages = []
-    for _ in range(n_pages):
+    for pi in range(n_pages):
         pb = PageBuilder()
         n_regions = rng.randint(1, 3)
         for _r in range(n_regions):
@@ -204,7 +219,19 @@ def _pdf_payload(rng: random.Random) -> bytes:
         if rng.random() < 0.4:
             lines = [" ".join(_words(rng, "en", 7)) for _ in range(3)]
             pb.text_lines(lines)
+        if unicode_lines is not None and pi == 0:
+            from ..core.pdf_write import make_code_map
+
+            cmap = make_code_map(unicode_lines)
+            pb.text_lines_encoded(unicode_lines, cmap)
         pages.append(pb)
+    if unicode_lines is not None:
+        from ..core.pdf_write import make_code_map
+
+        return build_pdf(
+            pages, compress=rng.random() < 0.5,
+            code_map=make_code_map(unicode_lines),
+            encoding_style=rng.choice(["tounicode", "differences"]))
     return build_pdf(pages, compress=rng.random() < 0.5)
 
 
@@ -287,7 +314,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=2"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=3"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
