@@ -235,12 +235,13 @@ def test_rows_only_schemas_pinned(registry):
 
 
 def test_doc_top_terms_distributed_plan_is_exact():
-    """Round-3 scale fix: the df side must stay DISTRIBUTED (native hash
-    join), never a whole-vocabulary driver broadcast.  Exactness is pinned
-    against a pure-pandas recomputation of (tf DESC, df ASC, token ASC)
-    top-3 + 6dp tf-idf; the tiny-vocab corpus (31 tokens across 500 docs)
-    also exercises the empty-reduce-partition blocks that broke acero's
-    join before the repartition() absorb."""
+    """Round-3 scale fix: the vocabulary broadcast is BOUNDED (head_k) with
+    a distributed hash-join fallback above it — never an unbounded driver
+    collect.  Both paths are pinned against a pure-pandas recomputation of
+    (tf DESC, df ASC, token ASC) top-3 + 6dp tf-idf; head_k=8 forces the
+    join path on the 31-token corpus, which also exercises the
+    empty-reduce-partition blocks that acero's join rejects without the
+    repartition() absorb."""
     import math
     from collections import Counter
 
@@ -252,6 +253,12 @@ def test_doc_top_terms_distributed_plan_is_exact():
     sf = "/root/testdata/sf0.001"
     got = (
         q_doc_top_terms(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    got_join = (
+        q_doc_top_terms(sf, head_k=8)   # vocab=31 > 8 → distributed join
         .to_pandas()
         .sort_values(["doc_id", "token"])
         .reset_index(drop=True)
@@ -280,4 +287,8 @@ def test_doc_top_terms_distributed_plan_is_exact():
             .sort_values(["doc_id", "token"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[["doc_id", "token", "tf", "df", "tfidf"]].astype(want.dtypes),
+        want)
+    pd.testing.assert_frame_equal(
+        got_join[["doc_id", "token", "tf", "df", "tfidf"]].astype(
+            want.dtypes),
         want)
