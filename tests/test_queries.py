@@ -204,6 +204,10 @@ _ROWS_ONLY_SCHEMAS = {
     "html_tables": ['n_cells', 'row_idx', 'row_text', 'table_idx', 'url'],
     "pdf_tables": ['grid', 'table_idx', 'url'],
     "extract_embed_neardup": ['cos', 'id_a', 'id_b'],
+    "docs_dedup_apply": ['doc_id', 'lang', 'n_chars'],
+    "orders_rank": ['o_custkey', 'o_orderkey', 'o_totalprice',
+                    'price_rank'],
+    "lang_doc_csv": ['doc_csv', 'lang'],
     "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
     "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
     "fingerprint": ['doc_id', 'fingerprint'],

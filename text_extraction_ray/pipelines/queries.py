@@ -729,6 +729,9 @@ def queries() -> dict:
         "pdf_tables": q_pdf_tables,
     }
     base.update(queries_ext())
+    from .queries_r3 import queries_r3
+
+    base.update(queries_r3())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -742,6 +745,7 @@ def queries() -> dict:
     # moved to the ORACLED group in round 3 (recursive-CTE oracle).
     priority = ["extract_pages", "pdf_tables", "explain_blocks",
                 "html_tables", "extract_embed_neardup",
+                "docs_dedup_apply", "orders_rank", "lang_doc_csv",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",

@@ -1,0 +1,194 @@
+"""Round-3 operator additions (SURVEY §2.0 rows G13/W4/G14).
+
+Registered as rows-only driver entries (the 50-row CORRECTNESS window is
+fully allocated: 48 oracled + extract_pages + pdf_tables), but each one
+still carries a DuckDB-parity SQL twin exercised by tests/test_queries_r3
+— the same rows+schema+values check the driver would run, just executed
+in pytest instead of the round report.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_PYA = {"batch_format": "pyarrow"}
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return read_table(sf_dir, table, columns)
+
+
+# --- G13: near-dup keep-list application -------------------------------------
+
+def q_docs_dedup_apply(sf_dir: str) -> ray.data.Dataset:
+    """The step that makes dedup USEFUL: apply the cluster keep-list to the
+    corpus — keep every doc that is its cluster's head (min member) or in
+    no cluster at all.  The drop-set is the bounded output of the oracled
+    neardup_clusters operator (pairs are LSH/threshold-capped, clusters
+    driver-bounded by construction), broadcast once via ray.put; the
+    corpus scan filters vectorized per batch and never shuffles."""
+    import pyarrow.compute as pc
+
+    from .queries_ext import q_neardup_clusters
+
+    clusters = q_neardup_clusters(sf_dir)
+    drop = clusters.filter(
+        pc.invert(pc.equal(clusters.column("doc_id"),
+                           clusters.column("cluster_id"))))
+    drop_ref = ray.put(drop.column("doc_id").combine_chunks())
+
+    def keep(b: pa.Table) -> pa.Table:
+        drop_ids = ray.get(drop_ref)
+        mask = pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_ids))
+        return b.filter(mask)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]
+                 ).map_batches(keep, **_PYA)
+
+
+# pytest parity twin (NOT a driver oracle — window allocation, see module
+# docstring); reuses the neardup_clusters recursive CTE
+SQL_DOCS_DEDUP_APPLY = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+walk (node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
+                       WHERE doc_id != cluster_id)
+"""
+
+
+# --- W4: grouped rank window --------------------------------------------------
+
+def q_orders_rank(sf_dir: str) -> ray.data.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC, o_orderkey) <= 2 — the rank-window operator.  Same shape as
+    doc_top_terms' fallback ranking: a coarse key-hash bucket groupby
+    (64 groups) and ONE vectorized lexsort + first-occurrence rank per
+    bucket, instead of one Python map_groups call per customer.  The
+    ordering key is integer/decimal-deterministic, so ranks are
+    bit-reproducible across engines."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((ids % 64).astype(np.int64)))
+
+    def rank2(g: pa.Table) -> pa.Table:
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))  # cust-major, then rank
+        c = cust[order]
+        first = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        starts = np.repeat(first, np.diff(np.r_[first, len(c)]))
+        rank = np.arange(len(c)) - starts + 1
+        keep = rank <= 2
+        sel = order[keep]
+        return pa.table({
+            "o_orderkey": pa.array(okey[sel], type=pa.int64()),
+            "o_custkey": pa.array(cust[sel], type=pa.int64()),
+            "o_totalprice": pa.array(price[sel], type=pa.float64()),
+            "price_rank": pa.array(rank[keep], type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"])
+            .map_batches(add_bucket, **_PYA)
+            .groupby("bucket")
+            .map_groups(rank2, batch_format="pyarrow"))
+
+
+SQL_ORDERS_RANK = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+FROM orders
+QUALIFY price_rank <= 2
+"""
+
+
+# --- G14: grouped string aggregation (collect/string_agg) ---------------------
+
+def q_lang_doc_csv(sf_dir: str) -> ray.data.Dataset:
+    """Per-language comma-joined CSV of the 5 smallest doc_ids — the
+    string_agg/collect_list operator, built with a MAP-SIDE COMBINER:
+    each batch keeps only its own 5 smallest ids per lang (min-k is a
+    semilattice, so partials compose exactly), the groupby shuffles
+    ≤ langs × 5 rows per batch, and the final merge re-selects the global
+    5 and joins — the full id list never shuffles anywhere."""
+
+    def partial_min5(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, langs))
+        la = langs[order]
+        first = np.r_[0, np.flatnonzero(la[1:] != la[:-1]) + 1]
+        starts = np.repeat(first, np.diff(np.r_[first, len(la)]))
+        keep = (np.arange(len(la)) - starts) < 5
+        sel = order[keep]
+        return pa.table({
+            "lang": pa.array(langs[sel].tolist(), type=pa.string()),
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+        })
+
+    def merge_csv(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column("doc_id").to_pylist())[:5]
+        return pa.table({
+            "lang": g.column("lang").slice(0, 1),
+            "doc_csv": pa.array([",".join(str(i) for i in ids)],
+                                type=pa.string()),
+        })
+
+    return (_read(sf_dir, "documents", ["lang", "doc_id"])
+            .map_batches(partial_min5, **_PYA)
+            .groupby("lang")
+            .map_groups(merge_csv, batch_format="pyarrow"))
+
+
+SQL_LANG_DOC_CSV = """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT lang,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_csv
+FROM r WHERE rn <= 5 GROUP BY lang
+"""
+
+
+def queries_r3() -> dict:
+    return {
+        "docs_dedup_apply": q_docs_dedup_apply,
+        "orders_rank": q_orders_rank,
+        "lang_doc_csv": q_lang_doc_csv,
+    }
+
+
+def parity_sql_r3() -> dict[str, str]:
+    """DuckDB twins for the pytest parity gate (NOT driver oracles)."""
+    return {
+        "docs_dedup_apply": SQL_DOCS_DEDUP_APPLY,
+        "orders_rank": SQL_ORDERS_RANK,
+        "lang_doc_csv": SQL_LANG_DOC_CSV,
+    }
