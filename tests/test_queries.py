@@ -208,6 +208,8 @@ _ROWS_ONLY_SCHEMAS = {
     "orders_rank": ['o_custkey', 'o_orderkey', 'o_totalprice',
                     'price_rank'],
     "lang_doc_csv": ['doc_csv', 'lang'],
+    "audio_features": ['decode_ok', 'duration_s', 'error', 'media_id',
+                       'n_channels', 'peak', 'rms', 'zcr'],
     "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
     "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
     "fingerprint": ['doc_id', 'fingerprint'],

@@ -82,3 +82,60 @@ def test_dedup_apply_drops_exactly_the_non_heads(ray_session):
                   .column("doc_id").to_pylist())
     assert kept == all_ids - drops
     assert drops  # the corpus genuinely has near-dup pairs to drop
+
+
+def test_audio_features_exact_and_total(ray_session):
+    """The Ray audio stage must reproduce direct numpy features exactly
+    for every clip (incl. stereo and 8-bit variants), and route corrupt /
+    non-PCM payloads to the error column with the codec's precise reason."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from text_extraction_ray.core.wav import audio_features, decode_wav
+    from text_extraction_ray.functions.multimodal import (
+        AudioFeaturizer,
+        synth_audio_batch,
+    )
+    from text_extraction_ray.pipelines.queries_r3 import q_audio_features
+
+    got = q_audio_features(SF_DIR).to_pandas().set_index("media_id")
+    ids = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+    assert len(got) == ids.num_rows
+    assert bool(got["decode_ok"].all())
+
+    # exact recompute for a sample of clips, covering stereo (i%7==0)
+    sample = [i for i in ids.column("doc_id").to_pylist()[:40]]
+    clips = synth_audio_batch(pa.table({"doc_id": pa.array(sample)}))
+    for mid, payload in zip(clips.column("media_id").to_pylist(),
+                            clips.column("media").to_pylist()):
+        sr, ch, samples = decode_wav(payload)
+        want = audio_features(sr, ch, samples)
+        row = got.loc[mid]
+        assert row["duration_s"] == want["duration_s"], mid
+        assert row["rms"] == want["rms"], mid
+        assert row["peak"] == want["peak"], mid
+        assert row["zcr"] == want["zcr"], mid
+        assert row["n_channels"] == ch, mid
+
+    # totality: garbage + IEEE-float WAV land in the error column
+    import struct
+
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body3 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    bad = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "media": pa.array([b"not audio at all",
+                           b"RIFF" + struct.pack("<I", len(body3)) + body3],
+                          type=pa.binary()),
+        "media_type": pa.array(["audio/wav", "audio/wav"]),
+    })
+    out = (ray.data.from_arrow(bad)
+           .map_batches(AudioFeaturizer, concurrency=1, batch_size=4,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("media_id"))
+    assert (~out["decode_ok"]).all()
+    assert "RIFF/WAVE signature" in out.iloc[0]["error"]
+    assert "ieee-float" in out.iloc[1]["error"]

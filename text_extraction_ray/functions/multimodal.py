@@ -305,3 +305,89 @@ class FakeMediaDecoder:
 # they parse real BMP/PNG containers (core/raster.py).
 MediaDecoder = FakeMediaDecoder
 ImageResizer = FakeImageResizer
+
+
+# --- audio (round 3): real WAV codec + actor-pool featurize ------------------
+
+WAV_MEDIA_TYPE = "audio/wav"
+
+
+def synth_audio_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic PCM16 clip per row: a sine whose frequency/length are
+    pure functions of the id, plus id-seeded integer dither — real RIFF
+    containers, so AudioFeaturizer exercises the actual codec.  Every 7th
+    row is stereo (the 8-bit widen path is unit-tested with hand-built
+    containers in test_queries_r3)."""
+    from ..core.wav import encode_wav
+
+    ids = batch.column(id_col).to_pylist()
+    media, mtype, srs = [], [], []
+    for i in ids:
+        sr = 8000 if i % 3 else 16000
+        n = 400 + (i * 37) % 1200
+        t = np.arange(n, dtype=np.float64)
+        freq = 110.0 + (i % 40) * 13.0
+        x = np.sin(2 * np.pi * freq * t / sr) * 0.6
+        dither = (((i * 2654435761 + t.astype(np.int64) * 40503) >> 7)
+                  % 129 - 64) / 16384.0
+        pcm = np.clip((x + dither) * 32767, -32768, 32767).astype(np.int16)
+        if i % 7 == 0:  # stereo: right channel is attenuated left
+            pcm = np.column_stack([pcm, (pcm // 2)]).reshape(-1)
+            media.append(encode_wav(pcm, sr, n_channels=2))
+        else:
+            media.append(encode_wav(pcm, sr))
+        mtype.append(WAV_MEDIA_TYPE)
+        srs.append(sr)
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(media, type=pa.binary()),
+        "media_type": pa.array(mtype, type=pa.string()),
+        "sample_rate": pa.array(srs, type=pa.int32()),
+    })
+
+
+class AudioFeaturizer:
+    """Actor-pool DECODE→FEATURIZE stage for audio columns: real RIFF/PCM
+    parse per row (core/wav.py), vectorized numpy features, TOTAL — bad
+    containers and non-PCM encodings land in the error column with the
+    codec's precise reason.  Same shape rules as MediaDecoder: state in
+    __init__, small batch_size (binary payloads dominate memory)."""
+
+    def __init__(self) -> None:
+        from ..core import wav as _wav
+
+        self._wav = _wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media = batch.column("media").to_pylist()
+        ids = batch.column("media_id").to_pylist()
+        ok, err, dur, rms, peak, zcr, nch = [], [], [], [], [], [], []
+        for payload in media:
+            try:
+                sr, ch, samples = self._wav.decode_wav(payload or b"")
+                f = self._wav.audio_features(sr, ch, samples)
+                ok.append(True)
+                err.append("")
+                dur.append(f["duration_s"])
+                rms.append(f["rms"])
+                peak.append(f["peak"])
+                zcr.append(f["zcr"])
+                nch.append(ch)
+            except ValueError as exc:
+                ok.append(False)
+                err.append(str(exc))
+                dur.append(0.0)
+                rms.append(0.0)
+                peak.append(0.0)
+                zcr.append(0.0)
+                nch.append(0)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+            "error": pa.array(err, type=pa.string()),
+            "duration_s": pa.array(dur, type=pa.float64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "peak": pa.array(peak, type=pa.float64()),
+            "zcr": pa.array(zcr, type=pa.float64()),
+            "n_channels": pa.array(nch, type=pa.int32()),
+        })

@@ -177,11 +177,29 @@ FROM r WHERE rn <= 5 GROUP BY lang
 """
 
 
+# --- M21: audio decode + featurize (real WAV codec) --------------------------
+
+def q_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Audio leg of the multimodal story: deterministic RIFF/PCM clips per
+    doc (mono/stereo, 8/16-bit — real containers from core/wav.py) →
+    AudioFeaturizer actor pool (decode + duration/RMS/peak/ZCR, state in
+    __init__, small batches because binary payloads dominate memory).
+    Rows-only; exact per-clip features are pinned in pytest against a
+    direct numpy recomputation."""
+    from ..functions.multimodal import AudioFeaturizer, synth_audio_batch
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(synth_audio_batch, **_PYA)
+            .map_batches(AudioFeaturizer, concurrency=(1, 4), batch_size=64,
+                         **_PYA))
+
+
 def queries_r3() -> dict:
     return {
         "docs_dedup_apply": q_docs_dedup_apply,
         "orders_rank": q_orders_rank,
         "lang_doc_csv": q_lang_doc_csv,
+        "audio_features": q_audio_features,
     }
 
 
