@@ -97,6 +97,22 @@ def sessionize_bucketed(ds: ray.data.Dataset, key_col: str, ts_col: str,
     gap_us = int(gap.total_seconds() * 1_000_000)
     hot = _detect_hot(ds, key_col, sample_rows, hot_share)
 
+    if not hot:
+        # COLD fast path (the common case): no key is hot, so the
+        # single-group plan is both safe and one groupby cheaper than
+        # running everything through bucket 0 + merge.
+        def whole_stream(g: pa.Table) -> pa.Table:
+            ts = np.sort(pc.cast(g.column(ts_col), pa.int64())
+                         .to_numpy(zero_copy_only=False))
+            n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
+            return pa.table({
+                key_col: g.column(key_col).slice(0, 1),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+            })
+
+        return ds.groupby(key_col).map_groups(whole_stream, **_PYA)
+
     def bucket_summary(g: pa.Table) -> pa.Table:
         ts = np.sort(pc.cast(g.column(ts_col), pa.int64())
                      .to_numpy(zero_copy_only=False))
@@ -157,6 +173,41 @@ def asof_join_bucketed(ds: ray.data.Dataset, key_col: str, ts_col: str,
     """
     hot = _detect_hot(ds, key_col, sample_rows, hot_share)
     out_val = out_col or f"last_{value_col}"
+
+    def resolve(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g.column(ts_col), pa.int64()
+                     ).to_numpy(zero_copy_only=False)
+        eid = g.column(id_col).to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column(type_col).to_pylist())
+        val = g.column(value_col).to_numpy(zero_copy_only=False)
+        key = g.column(key_col)[0].as_py()
+        seed_valid = False
+        seed = 0.0
+        if "in_carry" in g.schema.names:
+            ic = g.column("in_carry").to_numpy(zero_copy_only=False)
+            seed_valid = not np.isnan(ic).all()
+            if seed_valid:
+                seed = float(ic[~np.isnan(ic)][0])
+        order = np.lexsort((eid, ts))
+        eid, et, val = eid[order], et[order], val[order]
+        pidx = np.where(et == right_type, np.arange(len(et)), -1)
+        pidx = np.maximum.accumulate(pidx)
+        keep = (et == left_type) & ((pidx >= 0) | seed_valid)
+        resolved = np.where(pidx[keep] >= 0,
+                            val[np.maximum(pidx[keep], 0)], seed)
+        return pa.table({
+            id_col: pa.array(eid[keep], type=pa.int64()),
+            key_col: pa.array(
+                np.full(int(keep.sum()), key, dtype=np.int64)),
+            out_val: pa.array(resolved, type=pa.float64()),
+        })
+
+    if not hot:
+        # COLD fast path: skip bucketing, carries and the join entirely —
+        # the single-group scan (seedless resolve) is exact when no key
+        # is hot.
+        return ds.groupby(key_col).map_groups(resolve, **_PYA)
+
     bucketed = _with_time_bucket(ds, key_col, ts_col, hot, bucket_us)
 
     def out_carry(g: pa.Table) -> pa.Table:
@@ -227,30 +278,6 @@ def asof_join_bucketed(ds: ray.data.Dataset, key_col: str, ts_col: str,
         joined = bucketed.join(carries, join_type="left_outer",
                                num_partitions=num_partitions,
                                on=(key_col, "bucket"))
-
-    def resolve(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g.column(ts_col), pa.int64()
-                     ).to_numpy(zero_copy_only=False)
-        eid = g.column(id_col).to_numpy(zero_copy_only=False)
-        et = np.asarray(g.column(type_col).to_pylist())
-        val = g.column(value_col).to_numpy(zero_copy_only=False)
-        key = g.column(key_col)[0].as_py()
-        ic = g.column("in_carry").to_numpy(zero_copy_only=False)
-        seed_valid = not np.isnan(ic).all()
-        seed = float(ic[~np.isnan(ic)][0]) if seed_valid else 0.0
-        order = np.lexsort((eid, ts))
-        eid, et, val = eid[order], et[order], val[order]
-        pidx = np.where(et == right_type, np.arange(len(et)), -1)
-        pidx = np.maximum.accumulate(pidx)
-        keep = (et == left_type) & ((pidx >= 0) | seed_valid)
-        resolved = np.where(pidx[keep] >= 0,
-                            val[np.maximum(pidx[keep], 0)], seed)
-        return pa.table({
-            id_col: pa.array(eid[keep], type=pa.int64()),
-            key_col: pa.array(
-                np.full(int(keep.sum()), key, dtype=np.int64)),
-            out_val: pa.array(resolved, type=pa.float64()),
-        })
 
     return (joined.groupby([key_col, "bucket"])
             .map_groups(resolve, **_PYA))
