@@ -69,3 +69,66 @@ def test_fuzz_determinism():
     a = [extract_document(p, "").get("extracted_text") for p in pays]
     b = [extract_document(p, "").get("extracted_text") for p in pays]
     assert a == b
+
+
+def test_fuzz_wav_decode_total():
+    """decode_wav must raise ValueError (never crash, hang, or return
+    garbage silently) on arbitrary bytes, truncations of real containers,
+    and bit-flipped headers."""
+    import random
+
+    import numpy as np
+
+    from text_extraction_ray.core.wav import decode_wav, encode_wav
+
+    rng = random.Random(7)
+    x = (np.sin(np.arange(500) * 0.1) * 15000).astype(np.int16)
+    real = encode_wav(x, 8000)
+    cases = []
+    for _ in range(150):
+        cases.append(bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(0, 128))))
+    for _ in range(100):
+        cases.append(real[: rng.randrange(0, len(real))])
+    for _ in range(100):
+        b = bytearray(real)
+        for _f in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    ok = err = 0
+    for payload in cases:
+        try:
+            sr, ch, samples = decode_wav(payload)
+            assert sr >= 0 and ch in (1, 2)
+            ok += 1
+        except ValueError:
+            err += 1
+    assert ok + err == len(cases)
+    assert err > 0  # the corpus genuinely exercises the error paths
+
+
+def test_fuzz_pdf_font_maps_total():
+    """_font_maps/_parse_tounicode/_parse_differences must never raise on
+    arbitrary object soup — fonts simply get no map."""
+    import random
+
+    from text_extraction_ray.core.pdf import (
+        _parse_differences,
+        _parse_objects,
+        _parse_tounicode,
+        _font_maps,
+    )
+
+    rng = random.Random(11)
+    frags = [b"/Font << /F1 5 0 R >>", b"/ToUnicode 9 0 R",
+             b"/Differences [ 128 /uniZZZZ /x 300 /eacute ]",
+             b"beginbfchar <zz> <110000> endbfchar",
+             b"beginbfrange <00> <ff> [<41>] endbfrange",
+             b"<< /Encoding 7 0 R >>", b"5 0 obj << >> endobj"]
+    for _ in range(200):
+        soup = b" ".join(rng.choice(frags)
+                         for _ in range(rng.randrange(1, 6)))
+        soup += bytes(rng.randrange(256) for _ in range(rng.randrange(32)))
+        _parse_tounicode(soup)
+        _parse_differences(soup)
+        _font_maps(_parse_objects(soup))
