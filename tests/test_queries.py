@@ -210,6 +210,8 @@ _ROWS_ONLY_SCHEMAS = {
     "lang_doc_csv": ['doc_csv', 'lang'],
     "audio_features": ['decode_ok', 'duration_s', 'error', 'media_id',
                        'n_channels', 'peak', 'rms', 'zcr'],
+    "docs_redact": ['doc_id', 'n_redacted', 'redacted'],
+    "decontaminate": ['doc_id', 'n_contaminated'],
     "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
     "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
     "fingerprint": ['doc_id', 'fingerprint'],

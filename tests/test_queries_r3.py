@@ -139,3 +139,74 @@ def test_audio_features_exact_and_total(ray_session):
     assert (~out["decode_ok"]).all()
     assert "RIFF/WAVE signature" in out.iloc[0]["error"]
     assert "ieee-float" in out.iloc[1]["error"]
+
+
+def test_redaction_scrubs_crafted_pii(ray_session):
+    """Arrow RE2 scrub == DuckDB regexp_replace(...,'g') on text that
+    actually CONTAINS emails/URLs (the corpus texts are word soup, so the
+    registry query's parity is exercised here with crafted rows)."""
+    import duckdb
+    import pyarrow as pa
+
+    from text_extraction_ray.pipelines.queries_r3 import redact_batch
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "contact a.smith+x@sub.example.org or b@x.co today",
+            "see https://example.com/a?b=c and http://t.co/xyz now",
+            "no pii here at all",
+            "mixed bob@ex.ample.com visits https://ex.net/p — twice "
+            "carol@ex.net",
+        ]),
+    })
+    got = redact_batch(rows).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", rows)
+    want = con.execute("""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g') AS redacted,
+               CAST(length(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + length(regexp_extract_all(text, 'https?://[^\\s]+'))
+                    AS INT) AS n_redacted
+        FROM docs""").df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["redacted"]) == list(want["redacted"])
+    assert list(got["n_redacted"].astype(int)) == \
+        list(want["n_redacted"].astype(int))
+    assert got.loc[0, "redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert got.loc[3, "n_redacted"] == 3
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """Distributed scan == single-process brute force over the same
+    benchmark n-gram set (membership on strings — hash() is per-process
+    randomized and must never cross the driver/worker boundary)."""
+    import pyarrow.parquet as pq
+
+    from text_extraction_ray.pipelines.queries_r3 import q_decontaminate
+
+    got = (q_decontaminate(SF_DIR).to_pandas()
+           .set_index("doc_id")["n_contaminated"].to_dict())
+    docs = pq.read_table(SF_DIR + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    grams = set()
+    for r in docs:
+        if r["doc_id"] < 20:
+            toks = (r["text"] or "").split()
+            for i in range(len(toks) - 7):
+                grams.add(" ".join(toks[i : i + 8]))
+    want = {}
+    for r in docs:
+        toks = (r["text"] or "").split()
+        n = sum(1 for i in range(len(toks) - 7)
+                if " ".join(toks[i : i + 8]) in grams)
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want
+    assert len(want) >= 20  # benchmark docs self-hit at minimum

@@ -746,7 +746,7 @@ def queries() -> dict:
     priority = ["extract_pages", "pdf_tables", "explain_blocks",
                 "html_tables", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
-                "audio_features",
+                "audio_features", "docs_redact", "decontaminate",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",

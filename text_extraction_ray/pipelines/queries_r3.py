@@ -194,12 +194,105 @@ def q_audio_features(sf_dir: str) -> ray.data.Dataset:
                          **_PYA))
 
 
+# --- T2: pattern redaction (PII-style scrub) ---------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized RE2 scrub: emails → <EMAIL>, then URLs → <URL> — the
+    standard pretraining-corpus PII pass.  Both patterns are RE2-safe so
+    the DuckDB regexp_replace(..., 'g') twin is bit-identical."""
+    import pyarrow.compute as pc
+
+    t = pc.replace_substring_regex(b.column(text_col), pattern=EMAIL_RE,
+                                   replacement="<EMAIL>")
+    t = pc.replace_substring_regex(t, pattern=URL_RE, replacement="<URL>")
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "redacted": t,
+        "n_redacted": pc.add(
+            pc.count_substring_regex(b.column(text_col), pattern=EMAIL_RE),
+            pc.count_substring_regex(b.column(text_col), pattern=URL_RE)),
+    })
+
+
+def q_docs_redact(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "documents", ["doc_id", "text"]
+                 ).map_batches(redact_batch, **_PYA)
+
+
+SQL_DOCS_REDACT = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'),
+         'https?://[^\s]+', '<URL>', 'g') AS redacted,
+       CAST(length(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + length(regexp_extract_all(text, 'https?://[^\s]+'))
+            AS INT) AS n_redacted
+FROM documents
+"""
+
+
+# --- T3: benchmark decontamination --------------------------------------------
+
+def q_decontaminate(sf_dir: str, n_gram: int = 8,
+                    benchmark_max_id: int = 20) -> ray.data.Dataset:
+    """The decontamination pass a pretraining pipeline runs before
+    training: flag every corpus doc sharing an n-gram with a benchmark
+    set.  The benchmark side is SMALL BY DEFINITION (eval sets are
+    thousands of docs vs billions in the corpus), so its n-gram hash set
+    is built once driver-side, ray.put, and the corpus scan checks
+    membership per doc — no shuffle, one pass over the big side."""
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", benchmark_max_id)])
+    # NOTE: membership is on the n-gram STRINGS, not hash() values —
+    # Python's str hash is per-process randomized (PYTHONHASHSEED), so a
+    # driver-built hash set would never match inside Ray workers.  The
+    # benchmark side is bounded-small, so the string set broadcasts fine.
+    grams: set = set()
+    for text in bench.column("text").to_pylist():
+        toks = (text or "").split()
+        for i in range(len(toks) - n_gram + 1):
+            grams.add(" ".join(toks[i : i + n_gram]))
+    grams_ref = ray.put(grams)
+
+    def scan(b: pa.Table) -> pa.Table:
+        gset = ray.get(grams_ref)
+        ids_out, hits_out = [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            toks = (text or "").split()
+            n_hits = sum(
+                1 for i in range(len(toks) - n_gram + 1)
+                if " ".join(toks[i : i + n_gram]) in gset)
+            if n_hits:
+                ids_out.append(doc_id)
+                hits_out.append(n_hits)
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "n_contaminated": pa.array(hits_out, type=pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]
+                 ).map_batches(scan, **_PYA)
+
+
 def queries_r3() -> dict:
     return {
         "docs_dedup_apply": q_docs_dedup_apply,
         "orders_rank": q_orders_rank,
         "lang_doc_csv": q_lang_doc_csv,
         "audio_features": q_audio_features,
+        "docs_redact": q_docs_redact,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -209,4 +302,5 @@ def parity_sql_r3() -> dict[str, str]:
         "docs_dedup_apply": SQL_DOCS_DEDUP_APPLY,
         "orders_rank": SQL_ORDERS_RANK,
         "lang_doc_csv": SQL_LANG_DOC_CSV,
+        "docs_redact": SQL_DOCS_REDACT,
     }
