@@ -212,6 +212,9 @@ _ROWS_ONLY_SCHEMAS = {
                        'n_channels', 'peak', 'rms', 'zcr'],
     "docs_redact": ['doc_id', 'n_redacted', 'redacted'],
     "decontaminate": ['doc_id', 'n_contaminated'],
+    "users_by_type_hll": ['event_type', 'n_distinct_approx'],
+    "cust_orders_full_outer": ['c_nationkey', 'custkey', 'n_orders'],
+    "orders_global_sort": ['o_orderkey', 'o_totalprice'],
     "minhash_dedup": ['doc_a', 'doc_b', 'est_jaccard'],
     "simhash_dedup": ['doc_a', 'doc_b', 'hamming'],
     "fingerprint": ['doc_id', 'fingerprint'],

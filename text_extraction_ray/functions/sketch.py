@@ -181,6 +181,56 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> int:
     return int(round(_hll_estimate(regs)))
 
 
+def grouped_approx_distinct(ds: ray.data.Dataset, group_col: str,
+                            col: str) -> pa.Table:
+    """Per-GROUP HLL distinct count (round 3): each batch folds each
+    group's values into register maxima and ships (group, reg, rank)
+    rows — ≤ groups × 4096 per batch, usually far fewer (only nonzero
+    registers travel); registers merge by max in one groupby.  Returns a
+    driver-side Arrow table (groups × 1 row, tiny by construction) —
+    same contract as grouped_quantile_sketch."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        groups = np.asarray(b.column(group_col).to_pylist(), dtype=object)
+        column = b.column(col)
+        if pa.types.is_integer(column.type):
+            vals = column.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            from .dedup import _fnv1a64_many
+
+            vals = _fnv1a64_many([
+                (v if isinstance(v, bytes) else str(v).encode("utf-8"))
+                for v in column.to_pylist()]).view(np.int64)
+        out_g, out_reg, out_rank = [], [], []
+        for g in np.unique(groups):
+            regs = _hll_registers(vals[groups == g])
+            nz = np.nonzero(regs)[0]
+            out_g.extend([g] * len(nz))
+            out_reg.extend(nz.astype(np.int32).tolist())
+            out_rank.extend(regs[nz].tolist())
+        return pa.table({
+            group_col: pa.array(out_g, type=pa.string()),
+            "reg": pa.array(out_reg, type=pa.int32()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby([group_col, "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    ).to_pandas()  # ≤ groups × 4096 rows
+    rows_g, rows_n = [], []
+    for g, sub in merged.groupby(group_col):
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        regs[sub["reg"].to_numpy()] = sub["rank"].to_numpy()
+        rows_g.append(g)
+        rows_n.append(int(round(_hll_estimate(regs))))
+    return pa.table({
+        group_col: pa.array(rows_g, type=pa.string()),
+        "n_distinct_approx": pa.array(rows_n, type=pa.int64()),
+    })
+
+
 # --- log-histogram quantile sketch -----------------------------------------
 
 _N_BINS = 512

@@ -747,6 +747,8 @@ def queries() -> dict:
                 "html_tables", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
                 "audio_features", "docs_redact", "decontaminate",
+                "users_by_type_hll", "cust_orders_full_outer",
+                "orders_global_sort",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",

@@ -285,6 +285,81 @@ def q_decontaminate(sf_dir: str, n_gram: int = 8,
                  ).map_batches(scan, **_PYA)
 
 
+# --- X7: per-group HLL distinct ------------------------------------------------
+
+def q_users_by_type_hll(sf_dir: str) -> pa.Table:
+    """Distinct users per event_type via per-group HyperLogLog — the
+    at-scale replacement for groupby+COUNT(DISTINCT): the shuffle carries
+    register maxima (≤ groups × 4096 rows total), never user ids.
+    Rows-only; ≤5% per-group accuracy pinned in pytest vs exact."""
+    from ..functions.sketch import grouped_approx_distinct
+
+    return grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        group_col="event_type", col="user_id")
+
+
+# --- J12: full outer join --------------------------------------------------------
+
+def q_cust_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER customer ⋈ per-customer order counts — completes the
+    native-join family (inner J4, left_anti J6, left_semi J7, left_outer
+    in window_skew).  Customers with no orders keep null n_orders; orphan
+    orders (none in this corpus, but the plan handles them) would keep
+    null nation."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    per_cust = (_read(sf_dir, "orders", ["o_custkey"])
+                .groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders"))
+                .repartition(8))  # absorb schema-less empty reduce blocks
+    joined = cust.join(per_cust, join_type="full_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        names = b.schema.names
+        key = pc.coalesce(b.column("c_custkey"),
+                          b.column("o_custkey")) if "o_custkey" in names             else b.column("c_custkey")
+        return pa.table({
+            "custkey": pc.cast(key, pa.int64()),
+            "c_nationkey": b.column("c_nationkey"),
+            "n_orders": b.column("n_orders"),
+        })
+
+    return joined.map_batches(finish, **_PYA)
+
+
+SQL_CUST_ORDERS_FULL_OUTER = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_nationkey, n_orders
+FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+# --- K6: true global sort ---------------------------------------------------------
+
+def q_orders_global_sort(sf_dir: str) -> ray.data.Dataset:
+    """ds.sort — the genuine distributed range-partitioned sort (top-k
+    everywhere else deliberately avoids it): orders by (o_totalprice
+    DESC, o_orderkey ASC), first 100 rows IN ORDER.  The pytest twin
+    compares the ordered row list, not just the set."""
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False])
+            .limit(100))
+
+
+SQL_ORDERS_GLOBAL_SORT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 def queries_r3() -> dict:
     return {
         "docs_dedup_apply": q_docs_dedup_apply,
@@ -293,6 +368,9 @@ def queries_r3() -> dict:
         "audio_features": q_audio_features,
         "docs_redact": q_docs_redact,
         "decontaminate": q_decontaminate,
+        "users_by_type_hll": q_users_by_type_hll,
+        "cust_orders_full_outer": q_cust_orders_full_outer,
+        "orders_global_sort": q_orders_global_sort,
     }
 
 
@@ -303,4 +381,6 @@ def parity_sql_r3() -> dict[str, str]:
         "orders_rank": SQL_ORDERS_RANK,
         "lang_doc_csv": SQL_LANG_DOC_CSV,
         "docs_redact": SQL_DOCS_REDACT,
+        "cust_orders_full_outer": SQL_CUST_ORDERS_FULL_OUTER,
+        "orders_global_sort": SQL_ORDERS_GLOBAL_SORT,
     }
