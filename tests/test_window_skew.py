@@ -131,3 +131,55 @@ def test_asof_bucketed_hot_key_exact(ray_session):
     # click-only buckets after hour 10 that must inherit earlier carries
     hot_clicks = [eid for eid, (uid, _) in want.items() if uid == 7]
     assert len(hot_clicks) > 300
+
+
+def test_windows_random_property(ray_session):
+    """Property sweep: for random event tables and every (bucket width,
+    hot share) combination — including widths that chop streams into many
+    tiny buckets and shares that mark everyone/no-one hot — both operators
+    must equal the brute-force reference exactly."""
+    rng = np.random.default_rng(7)
+    gap = dt.timedelta(minutes=30)
+    for trial in range(3):
+        rows = []
+        eid = 0
+        n_users = int(rng.integers(3, 10))
+        for u in range(n_users):
+            n_ev = int(rng.integers(1, 120))
+            for _ in range(n_ev):
+                ts = BASE + dt.timedelta(
+                    seconds=int(rng.integers(0, 3 * 86400)))
+                rows.append((eid, u, ts,
+                             "purchase" if rng.random() < 0.25 else "click",
+                             round(float(rng.uniform(1, 9)), 2)))
+                eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        })
+        want_sessions = _ref_sessions(tbl, gap)
+        want_asof = _ref_asof(tbl)
+        for bucket_us, hot_share in ((HOUR_US, 0.01), (HOUR_US // 4, 0.01),
+                                     (86_400 * 1_000_000, 0.2),
+                                     (HOUR_US, 2.0)):  # 2.0 = nobody hot
+            got_s = sessionize_bucketed(
+                ray.data.from_arrow(tbl), "user_id", "ts", gap,
+                bucket_us=bucket_us, sample_rows=10_000,
+                hot_share=hot_share).to_pandas().set_index("user_id")
+            assert len(got_s) == len(want_sessions), (trial, bucket_us)
+            for uid, (ns, ne) in want_sessions.items():
+                assert got_s.loc[uid, "n_sessions"] == ns, (trial, uid)
+                assert got_s.loc[uid, "n_events"] == ne, (trial, uid)
+            got_a = asof_join_bucketed(
+                ray.data.from_arrow(tbl), key_col="user_id", ts_col="ts",
+                id_col="event_id", type_col="event_type",
+                value_col="value", left_type="click",
+                right_type="purchase", bucket_us=bucket_us,
+                sample_rows=10_000, hot_share=hot_share,
+            ).to_pandas()
+            got_map = dict(zip(got_a["event_id"], got_a["last_value"]))
+            assert got_map == {e: v for e, (_u, v) in want_asof.items()}, (
+                trial, bucket_us, hot_share)
