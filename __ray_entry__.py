@@ -62,14 +62,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 48 of 70 queries (round 3 added a
+    names as the Ray results) — 48 of 83 queries (round 3 added a
     recursive-CTE oracle for neardup_clusters).  Rows-only (approximate
     or inherently non-SQL): minhash/simhash (seeded permutation hashes),
     FNV fingerprint, ann_lsh/ann_ivf (approximate by construction),
     seeded sample, multimodal decode/resize/frame-sample/audio, the
     extraction pipelines over the synthetic pages corpus, and the
     round-3 additions whose DuckDB parity runs in pytest instead
-    (tests/test_queries_r3 — the driver's 50-row window is fully
+    (tests/test_queries_r3 + test_queries_r3b — the driver's 50-row
+    window is fully
     allocated: 48 oracled + extract_pages + pdf_tables).  queries()
     orders oracled entries FIRST so a driver-side cap can only truncate
     rows-only checks."""

@@ -730,8 +730,10 @@ def queries() -> dict:
     }
     base.update(queries_ext())
     from .queries_r3 import queries_r3
+    from .queries_r3b import queries_r3b
 
     base.update(queries_r3())
+    base.update(queries_r3b())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -749,6 +751,10 @@ def queries() -> dict:
                 "audio_features", "docs_redact", "decontaminate",
                 "users_by_type_hll", "cust_orders_full_outer",
                 "orders_global_sort",
+                "users_click_and_purchase", "users_click_not_purchase",
+                "orders_rollup", "events_lag", "users_by_type_exact",
+                "events_corr", "events_mode", "user_retention",
+                "funnel_conversions", "doc_chunks",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
