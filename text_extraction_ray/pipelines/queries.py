@@ -731,9 +731,11 @@ def queries() -> dict:
     base.update(queries_ext())
     from .queries_r3 import queries_r3
     from .queries_r3b import queries_r3b
+    from .queries_r3c import queries_r3c
 
     base.update(queries_r3())
     base.update(queries_r3b())
+    base.update(queries_r3c())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -755,6 +757,8 @@ def queries() -> dict:
                 "orders_rollup", "events_lag", "users_by_type_exact",
                 "events_corr", "events_mode", "user_retention",
                 "funnel_conversions", "doc_chunks",
+                "shipping_priority", "events_hopping",
+                "orders_quantile_disc", "docs_percent_rank",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
