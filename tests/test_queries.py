@@ -229,6 +229,32 @@ _ROWS_ONLY_SCHEMAS = {
                      'media_id', 'n_pixels', 'thumb16'],
     "ann_lsh": ['cos', 'vec_id'],
     "ann_ivf": ['cos', 'vec_id'],
+    "doc_chunks": ['chunk', 'chunk_id', 'doc_id'],
+    "docs_percent_rank": ['doc_id', 'lang', 'n_chars', 'pr'],
+    "docs_regex_extract": ['doc_id', 'long_word'],
+    "docs_zscore": ['doc_id', 'lang', 'n_chars', 'z'],
+    "event_transitions": ['n', 'next_type', 'prev_type'],
+    "events_corr": ['corr_vt', 'covar_vt', 'event_type', 'n'],
+    "events_hopping": ['event_type', 'n_events', 'sum_value',
+                       'window_start_us'],
+    "events_lag": ['delta_value', 'event_id', 'gap_us', 'user_id'],
+    "events_mode": ['event_type', 'mode_user', 'n_events'],
+    "events_unpivot": ['day', 'event_type', 'n'],
+    "funnel_conversions": ['t_click_us', 't_purchase_us', 't_view_us',
+                           'user_id'],
+    "inverted_index": ['df', 'postings', 'tok'],
+    "lang_argmax_doc": ['doc_id', 'lang', 'n_chars'],
+    "orders_quantile_disc": ['q', 'value'],
+    "orders_rollup": ['n_orders', 'o_orderpriority', 'o_orderstatus',
+                      'sum_price'],
+    "pmi_pairs": ['n_ab', 'pmi', 'tok_a', 'tok_b'],
+    "shipping_priority": ['o_orderdate', 'o_orderkey', 'o_orderpriority',
+                          'revenue'],
+    "user_retention": ['cohort_day', 'n_retained', 'n_users'],
+    "users_by_type_exact": ['event_type', 'n_users'],
+    "users_click_and_purchase": ['user_id'],
+    "users_click_not_purchase": ['user_id'],
+    "weighted_sample": ['doc_id', 'lang', 'n_chars', 'race_key'],
 }
 
 

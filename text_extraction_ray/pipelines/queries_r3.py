@@ -223,7 +223,7 @@ def q_docs_redact(sf_dir: str) -> ray.data.Dataset:
                  ).map_batches(redact_batch, **_PYA)
 
 
-SQL_DOCS_REDACT = """
+SQL_DOCS_REDACT = r"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(text,
