@@ -255,6 +255,13 @@ _ROWS_ONLY_SCHEMAS = {
     "users_click_and_purchase": ['user_id'],
     "users_click_not_purchase": ['user_id'],
     "weighted_sample": ['doc_id', 'lang', 'n_chars', 'race_key'],
+    "orders_monthly_growth": ['month', 'pct_growth', 'revenue'],
+    "events_gapfill": ['day', 'event_type', 'n'],
+    "orders_ntile": ['o_custkey', 'o_orderkey', 'o_totalprice', 'tile'],
+    "events_lead": ['event_id', 'first_value', 'last_value', 'next_type',
+                    'user_id'],
+    "part_name_fuzzy": ['dist', 'n_pairs', 'name_a', 'name_b', 'p_brand'],
+    "docs_ttr": ['doc_id', 'top_bigram_frac', 'ttr'],
 }
 
 

@@ -734,12 +734,14 @@ def queries() -> dict:
     from .queries_r3c import queries_r3c
     from .queries_r3d import queries_r3d
     from .queries_r3e import queries_r3e
+    from .queries_r3f import queries_r3f
 
     base.update(queries_r3())
     base.update(queries_r3b())
     base.update(queries_r3c())
     base.update(queries_r3d())
     base.update(queries_r3e())
+    base.update(queries_r3f())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -766,6 +768,8 @@ def queries() -> dict:
                 "inverted_index", "weighted_sample", "pmi_pairs",
                 "events_unpivot", "lang_argmax_doc", "docs_regex_extract",
                 "docs_zscore", "event_transitions",
+                "orders_monthly_growth", "events_gapfill", "orders_ntile",
+                "events_lead", "part_name_fuzzy", "docs_ttr",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
