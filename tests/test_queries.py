@@ -262,6 +262,12 @@ _ROWS_ONLY_SCHEMAS = {
                     'user_id'],
     "part_name_fuzzy": ['dist', 'n_pairs', 'name_a', 'name_b', 'p_brand'],
     "docs_ttr": ['doc_id', 'top_bigram_frac', 'ttr'],
+    "orders_cube": ['n', 'o_orderpriority', 'o_orderstatus', 'sum_price'],
+    "events_robust": ['event_type', 'mad', 'med'],
+    "events_percentile_cont": ['event_type', 'p50', 'p90', 'p99'],
+    "local_supplier_volume": ['n_name', 'revenue'],
+    "events_entropy": ['entropy_bits', 'event_type'],
+    "heavy_tokens_cms": ['n_cms', 'n_exact', 'token'],
 }
 
 

@@ -289,3 +289,64 @@ def grouped_quantile_sketch(ds: ray.data.Dataset, group_col: str,
         "quantile": pa.array(out_q, type=pa.float64()),
         "estimate": pa.array(out_v, type=pa.float64()),
     })
+
+
+# --- X9: count-min sketch ------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 8192
+_CMS_SALTS = [b"cms0:", b"cms1:", b"cms2:", b"cms3:"]
+
+
+def _cms_cells(tokens: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices for each token, via the repo's stable
+    vectorized FNV-1a with a per-row salt.  NEVER Python hash(): its seed
+    differs between driver and workers (round-3 decontaminate lesson)."""
+    from .dedup import _fnv1a64_many
+
+    enc = [t.encode("utf-8") for t in tokens]
+    return np.stack([
+        (_fnv1a64_many([_CMS_SALTS[r] + e for e in enc])
+         % np.uint64(width)).astype(np.int64)
+        for r in range(depth)])
+
+
+def count_min_table(ds: ray.data.Dataset, text_col: str = "text",
+                    depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH
+                    ) -> np.ndarray:
+    """Build a (depth, width) count-min sketch of \\S+ token counts.
+    Each batch folds its token counts into sparse (cell, val) partials —
+    at most depth × unique-tokens rows — which one tiny groupby merges
+    (CMS is a linear sketch: sum of sketches == sketch of union).  The
+    dense matrix (depth × width × 8 B = 256 KiB) materializes only at
+    the driver; the text never shuffles."""
+    def fold(b: pa.Table) -> pa.Table:
+        uniq, counts = _batch_token_counts(b.column(text_col).to_pylist())
+        if not len(uniq):
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.int64())})
+        cols = _cms_cells(uniq, depth, width)
+        cells = (np.arange(depth)[:, None] * width + cols).ravel()
+        vals = np.broadcast_to(counts, (depth, len(counts))).ravel()
+        uc, inv = np.unique(cells, return_inverse=True)
+        return pa.table({
+            "cell": pa.array(uc, type=pa.int64()),
+            "val": pa.array(np.bincount(inv, weights=vals).astype(
+                np.int64)),
+        })
+
+    merged = (ds.map_batches(fold, batch_format="pyarrow")
+              .groupby("cell")
+              .aggregate(Sum("val", alias_name="v"))
+              .take_all())  # bounded: ≤ depth × width rows
+    M = np.zeros(depth * width, dtype=np.int64)
+    for r in merged:
+        M[r["cell"]] = r["v"]
+    return M.reshape(depth, width)
+
+
+def cms_estimate(M: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point queries: min over rows — never underestimates."""
+    depth, width = M.shape
+    cols = _cms_cells(np.asarray(tokens, dtype=object), depth, width)
+    return M[np.arange(depth)[:, None], cols].min(axis=0)

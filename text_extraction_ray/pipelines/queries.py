@@ -735,6 +735,7 @@ def queries() -> dict:
     from .queries_r3d import queries_r3d
     from .queries_r3e import queries_r3e
     from .queries_r3f import queries_r3f
+    from .queries_r3g import queries_r3g
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -742,6 +743,7 @@ def queries() -> dict:
     base.update(queries_r3d())
     base.update(queries_r3e())
     base.update(queries_r3f())
+    base.update(queries_r3g())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -770,6 +772,9 @@ def queries() -> dict:
                 "docs_zscore", "event_transitions",
                 "orders_monthly_growth", "events_gapfill", "orders_ntile",
                 "events_lead", "part_name_fuzzy", "docs_ttr",
+                "orders_cube", "events_robust", "events_percentile_cont",
+                "local_supplier_volume", "events_entropy",
+                "heavy_tokens_cms",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
