@@ -106,21 +106,25 @@ def q_docs_lm_score(sf_dir: str) -> ray.data.Dataset:
         flat = toks.flatten()
         parent = pc.list_parent_indices(toks).to_numpy(
             zero_copy_only=False)
-        vals = np.asarray(flat.to_pylist(), dtype=object)
+        enc = flat.dictionary_encode()
+        ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
         doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         same = parent[1:] == parent[:-1] if len(parent) else \
             np.zeros(0, dtype=bool)
-        d = doc_ids[parent[:-1][same]]
-        a, nb = vals[:-1][same], vals[1:][same]
-        key = np.asarray([f"{x}\x00{y}\x00{z}"
-                          for x, y, z in zip(d, a, nb)], dtype=object)
+        d = parent[:-1][same].astype(np.int64)
+        a_id, b_id = ids[:-1][same], ids[1:][same]
+        V = len(vocab)
+        # (doc, a, b) folds into one int64 key; fits while
+        # batch_rows × V² < 2^63 (V is the PER-BATCH vocab)
+        assert b.num_rows * V * V < (1 << 62)
+        key = (d * V + a_id) * V + b_id
         uniq, cnt = np.unique(key, return_counts=True)
-        parts = [k.split("\x00") for k in uniq.tolist()]
+        di = uniq // (V * V)
         return pa.table({
-            "doc_id": pa.array([int(p[0]) for p in parts],
-                               type=pa.int64()),
-            "a": pa.array([p[1] for p in parts], type=pa.string()),
-            "b": pa.array([p[2] for p in parts], type=pa.string()),
+            "doc_id": pa.array(doc_ids[di], type=pa.int64()),
+            "a": vocab.take(pa.array((uniq // V) % V)),
+            "b": vocab.take(pa.array(uniq % V)),
             "n": pa.array(cnt, type=pa.int64()),
         })
 
