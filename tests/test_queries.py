@@ -271,6 +271,11 @@ _ROWS_ONLY_SCHEMAS = {
     "docs_split": ['bucket', 'doc_id', 'split'],
     "docs_lm_score": ['avg_logp', 'doc_id', 'n_bigrams'],
     "events_rolling_dau": ['dau7', 'day'],
+    "cust_big_orders_left": ['big_total', 'c_custkey', 'c_nationkey',
+                             'n_big'],
+    "events_winsorize": ['event_id', 'event_type', 'value_w'],
+    "orders_dense_rank": ['dr', 'o_custkey', 'o_orderkey'],
+    "embeddings_kmeans": ['cluster', 'dist', 'vec_id'],
 }
 
 

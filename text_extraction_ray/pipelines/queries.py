@@ -737,6 +737,7 @@ def queries() -> dict:
     from .queries_r3f import queries_r3f
     from .queries_r3g import queries_r3g
     from .queries_r3h import queries_r3h
+    from .queries_r3i import queries_r3i
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -746,6 +747,7 @@ def queries() -> dict:
     base.update(queries_r3f())
     base.update(queries_r3g())
     base.update(queries_r3h())
+    base.update(queries_r3i())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -778,6 +780,8 @@ def queries() -> dict:
                 "local_supplier_volume", "events_entropy",
                 "heavy_tokens_cms",
                 "docs_split", "docs_lm_score", "events_rolling_dau",
+                "cust_big_orders_left", "events_winsorize",
+                "orders_dense_rank", "embeddings_kmeans",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
