@@ -276,6 +276,8 @@ _ROWS_ONLY_SCHEMAS = {
     "events_winsorize": ['event_id', 'event_type', 'value_w'],
     "orders_dense_rank": ['dr', 'o_custkey', 'o_orderkey'],
     "embeddings_kmeans": ['cluster', 'dist', 'vec_id'],
+    "events_skew_join": ['event_id', 'first_us', 'n_user', 'user_id'],
+    "events_late_windows": ['n_late', 'n_ontime', 'window_start'],
 }
 
 

@@ -114,3 +114,90 @@ def adaptive_salted_count_sum(ds: ray.data.Dataset, key_col: str,
         .aggregate(Sum("pc_n", alias_name="n_rows"),
                    Sum("pc_s", alias_name=f"sum_{value_col}"))
     )
+
+
+def skew_broadcast_join(fact: ray.data.Dataset, dim: ray.data.Dataset,
+                        fact_key: str, dim_key: str,
+                        sample_rows: int = 50_000,
+                        hot_share: float = 0.05,
+                        num_partitions: int = 8) -> ray.data.Dataset:
+    """Skew-aware HYBRID inner join (the join-side twin of
+    ``adaptive_salted_count_sum``): a plain hash join sends every fact
+    row of a hot key to ONE reducer — at web scale a single celebrity
+    key is the whole job.  Plan:
+
+      detect  hot fact keys from a bounded sample (≤ sample_rows rows)
+      hot     the ≤ 1/hot_share matching DIM rows collect to the driver
+              (bounded by construction), broadcast once; hot fact rows
+              attach them vectorized (index_in + take) — no shuffle
+      cold    everything else takes the normal native hash join
+      union   hot ∪ cold (row sets disjoint by the hot-key split)
+
+    Exactly the inner join's rows on ANY data; the sample only decides
+    which route each key takes.  Dim columns (minus the key) must not
+    collide with fact columns."""
+    sample = fact.limit(sample_rows).take_batch(sample_rows,
+                                                batch_format="pyarrow")
+    keys = sample.column(fact_key).to_pylist()
+    n = max(len(keys), 1)
+    freq: dict = {}
+    for k in keys:
+        freq[k] = freq.get(k, 0) + 1
+    hot = {k for k, c in freq.items() if c / n >= hot_share}
+    dim_cols = [c for c in dim.schema().names if c != dim_key]
+    out_cols = list(fact.schema().names) + dim_cols
+    hot_ref = ray.put(hot)
+
+    def split_factory(want_hot: bool):
+        def split(b: pa.Table) -> pa.Table:
+            hset = ray.get(hot_ref)
+            if not hset:
+                return b.slice(0, 0) if want_hot else b
+            m = pc.is_in(b.column(fact_key),
+                         value_set=pa.array(list(hset),
+                                            type=b.column(fact_key).type))
+            return b.filter(m if want_hot else pc.invert(m))
+        return split
+
+    cold_fact = fact.map_batches(split_factory(False),
+                                 batch_format="pyarrow")
+    cold_joined = (
+        cold_fact
+        .join(dim, join_type="inner", num_partitions=num_partitions,
+              on=(fact_key,), right_on=(dim_key,))
+        .map_batches(lambda b: b.select(out_cols),
+                     batch_format="pyarrow"))
+    if not hot:
+        return cold_joined
+
+    # bounded by |hot| ≤ 1/hot_share keys — a dimension-row handful
+    def dim_hot_only(b: pa.Table) -> pa.Table:
+        hset = ray.get(hot_ref)
+        return b.filter(pc.is_in(
+            b.column(dim_key),
+            value_set=pa.array(list(hset), type=b.column(dim_key).type)))
+
+    hot_dim = pa.concat_tables(
+        [b for b in dim.map_batches(dim_hot_only, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    hot_dim_ref = ray.put(hot_dim)
+
+    def attach(b: pa.Table) -> pa.Table:
+        d = ray.get(hot_dim_ref)
+        idx = pc.index_in(b.column(fact_key), value_set=d.column(dim_key))
+        found = pc.is_valid(idx)
+        b, idx = b.filter(found), pc.filter(idx, found)
+        for c in dim_cols:
+            b = b.append_column(c, pc.take(d.column(c), idx))
+        return b.select(out_cols)
+
+    hot_joined = (
+        fact.map_batches(split_factory(True), batch_format="pyarrow")
+        .map_batches(attach, batch_format="pyarrow"))
+    # an ALL-hot split leaves the cold side with only schema-less empty
+    # blocks, which acero's join rejects even after repartition — probe
+    # with a limit(1) pre-pass (bounded: early-stops at the first row)
+    # and skip the cold join entirely when nothing is cold
+    if cold_fact.limit(1).count() == 0:
+        return hot_joined
+    return cold_joined.union(hot_joined)

@@ -738,6 +738,7 @@ def queries() -> dict:
     from .queries_r3g import queries_r3g
     from .queries_r3h import queries_r3h
     from .queries_r3i import queries_r3i
+    from .queries_r3j import queries_r3j
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -748,6 +749,7 @@ def queries() -> dict:
     base.update(queries_r3g())
     base.update(queries_r3h())
     base.update(queries_r3i())
+    base.update(queries_r3j())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -782,6 +784,7 @@ def queries() -> dict:
                 "docs_split", "docs_lm_score", "events_rolling_dau",
                 "cust_big_orders_left", "events_winsorize",
                 "orders_dense_rank", "embeddings_kmeans",
+                "events_skew_join", "events_late_windows",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
