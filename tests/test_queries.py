@@ -278,6 +278,7 @@ _ROWS_ONLY_SCHEMAS = {
     "embeddings_kmeans": ['cluster', 'dist', 'vec_id'],
     "events_skew_join": ['event_id', 'first_us', 'n_user', 'user_id'],
     "events_late_windows": ['n_late', 'n_ontime', 'window_start'],
+    "orders_profile": ['column', 'n_distinct', 'n_nulls', 'n_rows'],
 }
 
 

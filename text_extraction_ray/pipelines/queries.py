@@ -739,6 +739,7 @@ def queries() -> dict:
     from .queries_r3h import queries_r3h
     from .queries_r3i import queries_r3i
     from .queries_r3j import queries_r3j
+    from .queries_r3k import queries_r3k
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -750,6 +751,7 @@ def queries() -> dict:
     base.update(queries_r3h())
     base.update(queries_r3i())
     base.update(queries_r3j())
+    base.update(queries_r3k())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -785,6 +787,7 @@ def queries() -> dict:
                 "cust_big_orders_left", "events_winsorize",
                 "orders_dense_rank", "embeddings_kmeans",
                 "events_skew_join", "events_late_windows",
+                "orders_profile",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
