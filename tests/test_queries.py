@@ -279,6 +279,7 @@ _ROWS_ONLY_SCHEMAS = {
     "events_skew_join": ['event_id', 'first_us', 'n_user', 'user_id'],
     "events_late_windows": ['n_late', 'n_ontime', 'window_start'],
     "orders_profile": ['column', 'n_distinct', 'n_nulls', 'n_rows'],
+    "media_dhash": ['decode_ok', 'dhash', 'error', 'media_id'],
 }
 
 

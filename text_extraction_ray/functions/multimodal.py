@@ -391,3 +391,125 @@ class AudioFeaturizer:
             "zcr": pa.array(zcr, type=pa.float64()),
             "n_channels": pa.array(nch, type=pa.int32()),
         })
+
+
+# --- M22: perceptual hashing (dHash) for image near-dup -------------------------
+
+_DHASH_W, _DHASH_H = 9, 8  # 9×8 luma grid → 64 horizontal-gradient bits
+
+
+def _block_mean_resize(gray: np.ndarray, w: int, h: int,
+                       ow: int, oh: int) -> np.ndarray:
+    """Area-average downsample to (ow, oh) — integral-image free but
+    fully vectorized: variable-width cell sums via np.add.reduceat on
+    both axes (exact block means for any size ratio)."""
+    img = gray.reshape(h, w).astype(np.float64)
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    rows = np.add.reduceat(img, ys, axis=0)
+    cells = np.add.reduceat(rows, xs, axis=1)
+    ycnt = np.diff(np.concatenate((ys, [h])))
+    xcnt = np.diff(np.concatenate((xs, [w])))
+    return cells / (ycnt[:, None] * xcnt[None, :])
+
+
+def dhash64(media_type: str, payload: bytes) -> int:
+    """64-bit difference hash: decode → 9×8 block-mean luma →
+    left-vs-right gradient sign per cell.  Robust to resizing and mild
+    brightness shifts (monotone transforms preserve gradient signs) —
+    the standard cheap image near-dup key."""
+    w, h, gray = _decode_any(media_type, payload)
+    buf = np.frombuffer(gray, dtype=np.uint8)
+    if len(buf) < w * h:  # fake container may truncate — pad like decode
+        buf = np.concatenate(
+            [buf, np.zeros(w * h - len(buf), dtype=np.uint8)])
+    g = _block_mean_resize(buf[:w * h], w, h, _DHASH_W, _DHASH_H)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(bits.astype(np.uint64) @
+               (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+class ImageDHasher:
+    """Actor-pool stage: media row → (media_id, dhash, decode_ok,
+    error).  Total like the decoder — undecodable payloads route to the
+    error column, never kill the batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        out_h, ok, err = [], [], []
+        for t, p in zip(types, payloads):
+            try:
+                out_h.append(dhash64(t, p))
+                ok.append(True)
+                err.append(None)
+            except (ValueError, NotImplementedError) as e:
+                out_h.append(None)
+                ok.append(False)
+                err.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "dhash": pa.array(out_h, type=pa.uint64()),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+            "error": pa.array(err, type=pa.string()),
+        })
+
+
+def dhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 10,
+                id_col: str = "media_id", hash_col: str = "dhash"
+                ) -> "ray.data.Dataset":
+    """Image near-dup pairs by dHash hamming distance, banded like
+    SimHash: 4 × 16-bit bands (pigeonhole: distance ≤ max_hamming < 16
+    guarantees at least one identical band when ≤ 3 bands differ… for
+    the standard ≤10 threshold two equal bands are guaranteed), bucket
+    groupby, vectorized XOR-popcount within buckets, distinct pairs."""
+    import ray.data as _rd  # noqa: F401 — type-only use above
+    from .dedup import _signed64
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        hs = b.column(hash_col).to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+        valid = ~pc.is_null(b.column(hash_col)).to_numpy(
+            zero_copy_only=False)
+        ids, hs = ids[valid], hs[valid].astype(np.uint64)
+        parts = []
+        for band in range(4):
+            key = ((hs >> np.uint64(16 * band))
+                   & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pa.table({
+                "bucket": pa.array(key + (band << 16)),
+                "mid": pa.array(ids),
+                "h": pa.array(_signed64(hs)),
+            }))
+        return pa.concat_tables(parts)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("mid").to_numpy(zero_copy_only=False)
+        hs = g.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        if not len(ia):
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = (ham <= max_hamming) & (ids[ia] != ids[ib])
+        return pa.table({
+            "id_a": pa.array(ids[ia][keep]),
+            "id_b": pa.array(ids[ib][keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    return (ds.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .map_groups(lambda g: g.slice(0, 1),
+                        batch_format="pyarrow"))

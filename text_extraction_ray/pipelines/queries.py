@@ -740,6 +740,7 @@ def queries() -> dict:
     from .queries_r3i import queries_r3i
     from .queries_r3j import queries_r3j
     from .queries_r3k import queries_r3k
+    from .queries_r3l import queries_r3l
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -752,6 +753,7 @@ def queries() -> dict:
     base.update(queries_r3i())
     base.update(queries_r3j())
     base.update(queries_r3k())
+    base.update(queries_r3l())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -787,7 +789,7 @@ def queries() -> dict:
                 "cust_big_orders_left", "events_winsorize",
                 "orders_dense_rank", "embeddings_kmeans",
                 "events_skew_join", "events_late_windows",
-                "orders_profile",
+                "orders_profile", "media_dhash",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
