@@ -280,6 +280,9 @@ _ROWS_ONLY_SCHEMAS = {
     "events_late_windows": ['n_late', 'n_ontime', 'window_start'],
     "orders_profile": ['column', 'n_distinct', 'n_nulls', 'n_rows'],
     "media_dhash": ['decode_ok', 'dhash', 'error', 'media_id'],
+    "integrity_check": ['edge', 'n_orphans', 'n_rows'],
+    "orders_decile": ['decile', 'o_orderkey'],
+    "nation_revenue_share": ['c_nationkey', 'pct_share', 'revenue'],
 }
 
 
