@@ -283,6 +283,7 @@ _ROWS_ONLY_SCHEMAS = {
     "integrity_check": ['edge', 'n_orphans', 'n_rows'],
     "orders_decile": ['decile', 'o_orderkey'],
     "nation_revenue_share": ['c_nationkey', 'pct_share', 'revenue'],
+    "events_dedup_hourly": ['event_id', 'event_type', 'hour', 'user_id'],
 }
 
 

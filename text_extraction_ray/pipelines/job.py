@@ -115,7 +115,7 @@ class PartitionWorker:
         return pa.Table.from_pylist(metrics_rows)
 
 
-_SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl")
+_SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl", ".csv")
 
 
 def _iter_shard_tables(shard: str):
@@ -164,6 +164,30 @@ def _iter_shard_tables(shard: str):
                 if len(rows["url"]) >= _ROWGROUP_BATCH:
                     yield _pages_chunk(rows)
                     rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            if rows["url"]:
+                yield _pages_chunk(rows)
+        return
+    if shard.endswith(".csv"):
+        import base64
+        import csv as _csv
+        import datetime as _dt
+
+        # crawl pages routinely exceed csv's 128 KiB default field cap
+        _csv.field_size_limit(1 << 30)
+        # row-streamed like jsonl; html travels base64 (CSV is text-only)
+        with open(shard, newline="", encoding="utf-8") as fh:
+            rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            for r in _csv.DictReader(fh):
+                rows["url"].append(r["url"])
+                rows["warc_ts"].append(
+                    _dt.datetime.fromisoformat(r["warc_ts"]))
+                rows["html"].append(
+                    base64.b64decode(r.get("html_b64", "") or ""))
+                rows["lang"].append(r.get("lang", "") or "")
+                if len(rows["url"]) >= _ROWGROUP_BATCH:
+                    yield _pages_chunk(rows)
+                    rows = {"url": [], "warc_ts": [], "html": [],
+                            "lang": []}
             if rows["url"]:
                 yield _pages_chunk(rows)
         return

@@ -742,6 +742,7 @@ def queries() -> dict:
     from .queries_r3k import queries_r3k
     from .queries_r3l import queries_r3l
     from .queries_r3m import queries_r3m
+    from .queries_r3n import queries_r3n
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -756,6 +757,7 @@ def queries() -> dict:
     base.update(queries_r3k())
     base.update(queries_r3l())
     base.update(queries_r3m())
+    base.update(queries_r3n())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -793,7 +795,7 @@ def queries() -> dict:
                 "events_skew_join", "events_late_windows",
                 "orders_profile", "media_dhash",
                 "integrity_check", "orders_decile",
-                "nation_revenue_share",
+                "nation_revenue_share", "events_dedup_hourly",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",

@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="QA gate: exit 3 if cumulative docs_failed / "
                          "docs_in exceeds FRAC (e.g. 0.02) — catches a "
                          "systematically broken crawl batch in CI")
+    ap.add_argument("--materialize-query", default=None, metavar="NAME",
+                    help="CREATE-TABLE-AS mode: run registry query NAME "
+                         "over the table directory given by --input and "
+                         "write its result to --output as parquet "
+                         "(atomic for driver-side tables, partitioned "
+                         "for datasets)")
     ap.add_argument("--refresh-from", default=None, metavar="OLD_OUTPUT",
                     help="incremental recrawl mode: extract ONLY pages "
                          "that are new or newer than OLD_OUTPUT's rows, "
@@ -82,6 +88,37 @@ def main(argv: list[str] | None = None) -> int:
         # survive and corrupt --report/--dedup (ADVICE r1).
         for d in glob.glob(os.path.join(args.output, "part=*")):
             shutil.rmtree(d, ignore_errors=True)
+
+    if args.materialize_query:
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from .pipelines.queries import queries
+
+        qs = queries()
+        if args.materialize_query not in qs:
+            ap.error(f"unknown query {args.materialize_query!r} "
+                     f"({len(qs)} registered — see SURVEY.md §2)")
+        res = qs[args.materialize_query](args.input)
+        if isinstance(res, pd.DataFrame):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        if isinstance(res, pa.Table):
+            from .state.checkpoint import write_atomic_parquet
+
+            write_atomic_parquet(
+                res, os.path.join(args.output, "data.parquet"))
+            n = res.num_rows
+        else:
+            res = res.materialize()
+            n = res.count()
+            res.write_parquet(args.output)
+        json.dump({"mode": "materialize",
+                   "query": args.materialize_query, "rows_out": n,
+                   "output": args.output}, sys.stdout, indent=2)
+        print()
+        return 0
 
     if args.refresh_from:
         import os
