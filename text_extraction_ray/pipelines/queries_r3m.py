@@ -69,7 +69,11 @@ def orphan_count(fact: ray.data.Dataset, fact_key: str,
 def q_integrity_check(sf_dir: str) -> pa.Table:
     """Orphan counts for every FK edge of the schema — the load-time
     contract check (all zeros on consistent data; the violation path is
-    pinned by a corrupted fixture in pytest)."""
+    pinned by a corrupted fixture in pytest).  The three edges run
+    sequentially ON PURPOSE: concurrent streaming executors from driver
+    threads contend for the same CPU pool and measured 4× SLOWER than
+    back-to-back runs (43 s vs 11 s at sf0.1) — the per-edge cost is
+    join startup, which threading multiplies instead of hiding."""
     out = {"edge": [], "n_orphans": [], "n_rows": []}
     for edge, ft, fk, dt, dk in _FK_EDGES:
         n_orph, n_rows = orphan_count(
