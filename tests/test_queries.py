@@ -284,6 +284,7 @@ _ROWS_ONLY_SCHEMAS = {
     "orders_decile": ['decile', 'o_orderkey'],
     "nation_revenue_share": ['c_nationkey', 'pct_share', 'revenue'],
     "events_dedup_hourly": ['event_id', 'event_type', 'hour', 'user_id'],
+    "ann_pq": ['cos_pq', 'vec_id'],
 }
 
 

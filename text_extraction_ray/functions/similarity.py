@@ -266,3 +266,98 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, corpus_ids: np.ndarray,
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# --- E6: product quantization (PQ) ANN ------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim → 8 × 8-dim)
+_PQ_KSUB = 256     # centroids per subspace → the standard 8-bit code
+_PQ_SEED = 31
+_PQ_ITERS = 10
+
+
+def pq_train(sample: np.ndarray, m: int = _PQ_M,
+             ksub: int = _PQ_KSUB) -> np.ndarray:
+    """(m, ksub, dsub) codebooks by per-subspace Lloyd's k-means over a
+    bounded, NORMALIZED driver sample — deterministic (seeded init,
+    fixed iterations, empty clusters re-seeded like IVF).  PQ is the
+    embedding-compression scale path: 64 float32 dims (256 B) become m
+    single-byte codes (8 B, 32×) and search never touches the original
+    vectors."""
+    mat = _normalize(sample)
+    n, dim = mat.shape
+    assert dim % m == 0
+    dsub = dim // m
+    rs = np.random.RandomState(_PQ_SEED)
+    books = np.empty((m, min(ksub, n), dsub))
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        k = min(ksub, n)
+        cent = sub[rs.choice(n, size=k, replace=False)]
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members) == 0:
+                    cent[c] = sub[d2.min(axis=1).argmax()]
+                else:
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode_factory(books: np.ndarray, vec_col: str = "embedding"):
+    """map_batches fn: vectors → m uint8 codes (list column) — the
+    codebooks travel inside the closure (tiny: m×ksub×dsub floats)."""
+    m, ksub, dsub = books.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix_from_batch(batch, vec_col))
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(1).astype(np.uint8)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code": pa.array(list(codes)),
+        })
+
+    return encode
+
+
+def ann_pq_topk(ds: ray.data.Dataset, query_vec: np.ndarray,
+                k: int = 10, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+                train_rows: int = 4096,
+                vec_col: str = "embedding") -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) top-k: train codebooks on a bounded
+    sample, encode the corpus distributed, score each code row by table
+    lookup (query⋅centroid per subspace precomputed — m adds per
+    vector, no float vectors touched), distributed per-batch top-k then
+    a driver merge of k×batches candidates."""
+    from .topk import topk
+
+    sample = ds.limit(train_rows).take_batch(train_rows,
+                                             batch_format="pyarrow")
+    books = pq_train(_matrix_from_batch(sample, vec_col), m, ksub)
+    q = _normalize(query_vec.reshape(1, -1))[0]
+    dsub = books.shape[2]
+    table = np.stack([books[s] @ q[s * dsub:(s + 1) * dsub]
+                      for s in range(books.shape[0])])  # (m, ksub)
+
+    encoded = ds.map_batches(pq_encode_factory(books, vec_col),
+                             batch_format="pyarrow")
+
+    def score(batch: pa.Table) -> pa.Table:
+        codes = np.array(batch.column("code").to_pylist(),
+                         dtype=np.int64)
+        s = table[np.arange(table.shape[0])[None, :], codes].sum(1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cos_pq": pa.array(np.round(s, 4)),
+        })
+
+    scored = encoded.map_batches(score, batch_format="pyarrow")
+    return topk(scored, ["cos_pq", "vec_id"], k,
+                descending=[True, False])

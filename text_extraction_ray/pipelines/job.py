@@ -18,6 +18,7 @@ point is safe.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 
@@ -148,24 +149,36 @@ def _iter_shard_tables(shard: str):
         import datetime as _dt
         import json as _json
 
-        # line-streamed: memory ≈ one row-group, like the WARC path
-        with open(shard, encoding="utf-8") as fh:
+        # line-streamed: memory ≈ one row-group, like the WARC path.
+        # Malformed lines (truncated writes, encoding garbage — routine
+        # in crawl-scale JSONL) SKIP with a counted warning instead of
+        # killing the whole shard's partition.
+        n_bad = 0
+        with open(shard, encoding="utf-8", errors="replace") as fh:
             rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
             for line in fh:
                 if not line.strip():
                     continue
-                r = _json.loads(line)
-                rows["url"].append(r["url"])
-                rows["warc_ts"].append(
-                    _dt.datetime.fromisoformat(r["warc_ts"]))
-                rows["html"].append(
-                    base64.b64decode(r.get("html_b64", "") or ""))
+                try:
+                    r = _json.loads(line)
+                    url = r["url"]
+                    ts = _dt.datetime.fromisoformat(r["warc_ts"])
+                    html = base64.b64decode(r.get("html_b64", "") or "")
+                except (ValueError, KeyError, TypeError):
+                    n_bad += 1
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["html"].append(html)
                 rows["lang"].append(r.get("lang", "") or "")
                 if len(rows["url"]) >= _ROWGROUP_BATCH:
                     yield _pages_chunk(rows)
                     rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
             if rows["url"]:
                 yield _pages_chunk(rows)
+        if n_bad:
+            logging.getLogger(__name__).warning(
+                "%s: skipped %d malformed jsonl line(s)", shard, n_bad)
         return
     if shard.endswith(".csv"):
         import base64
@@ -174,15 +187,25 @@ def _iter_shard_tables(shard: str):
 
         # crawl pages routinely exceed csv's 128 KiB default field cap
         _csv.field_size_limit(1 << 30)
-        # row-streamed like jsonl; html travels base64 (CSV is text-only)
-        with open(shard, newline="", encoding="utf-8") as fh:
+        # row-streamed like jsonl; html travels base64 (CSV is text-only);
+        # malformed rows skip-and-count like the jsonl path
+        n_bad = 0
+        with open(shard, newline="", encoding="utf-8",
+                  errors="replace") as fh:
             rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
             for r in _csv.DictReader(fh):
-                rows["url"].append(r["url"])
-                rows["warc_ts"].append(
-                    _dt.datetime.fromisoformat(r["warc_ts"]))
-                rows["html"].append(
-                    base64.b64decode(r.get("html_b64", "") or ""))
+                try:
+                    url = r["url"]
+                    ts = _dt.datetime.fromisoformat(r["warc_ts"])
+                    html = base64.b64decode(r.get("html_b64", "") or "")
+                    if url is None:
+                        raise KeyError("url")
+                except (ValueError, KeyError, TypeError):
+                    n_bad += 1
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["html"].append(html)
                 rows["lang"].append(r.get("lang", "") or "")
                 if len(rows["url"]) >= _ROWGROUP_BATCH:
                     yield _pages_chunk(rows)
@@ -190,6 +213,9 @@ def _iter_shard_tables(shard: str):
                             "lang": []}
             if rows["url"]:
                 yield _pages_chunk(rows)
+        if n_bad:
+            logging.getLogger(__name__).warning(
+                "%s: skipped %d malformed csv row(s)", shard, n_bad)
         return
     pf = pq.ParquetFile(shard)
     for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,

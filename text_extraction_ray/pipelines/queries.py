@@ -743,6 +743,7 @@ def queries() -> dict:
     from .queries_r3l import queries_r3l
     from .queries_r3m import queries_r3m
     from .queries_r3n import queries_r3n
+    from .queries_r3o import queries_r3o
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -758,6 +759,7 @@ def queries() -> dict:
     base.update(queries_r3l())
     base.update(queries_r3m())
     base.update(queries_r3n())
+    base.update(queries_r3o())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -796,6 +798,7 @@ def queries() -> dict:
                 "orders_profile", "media_dhash",
                 "integrity_check", "orders_decile",
                 "nation_revenue_share", "events_dedup_hourly",
+                "ann_pq",
                 "minhash_dedup", "simhash_dedup", "fingerprint",
                 "sample_docs",
                 "length_quantiles_sketch", "distinct_users_hll",
