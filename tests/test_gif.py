@@ -1,0 +1,83 @@
+"""From-scratch GIF codec: roundtrip (including LZW table overflow and
+width growth), spec details, and decoder totality on corrupt bytes."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_extraction_ray.core.gif import decode_gif, encode_gif
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_random(w, h, seed):
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, w * h, dtype=np.int64).astype(
+        np.uint8).tobytes()
+    w2, h2, back = decode_gif(encode_gif(w, h, gray))
+    assert (w2, h2) == (w, h)
+    assert back == gray
+
+
+def test_roundtrip_forces_table_overflow():
+    """>4096 distinct LZW sequences force mid-stream CLEAR codes and the
+    full 9→12 width ramp."""
+    rng = np.random.default_rng(1)
+    gray = rng.integers(0, 256, 300 * 200, dtype=np.int64).astype(
+        np.uint8).tobytes()
+    w, h, back = decode_gif(encode_gif(300, 200, gray))
+    assert (w, h) == (300, 200)
+    assert back == gray
+
+
+def test_roundtrip_compressible():
+    """Highly repetitive input compresses well below 1 byte/pixel."""
+    gray = bytes(20_000 * [42])
+    enc = encode_gif(200, 100, gray)
+    assert len(enc) < 20_000 // 4 + 1000
+    assert decode_gif(enc)[2] == gray
+
+
+def test_decoder_skips_extensions():
+    """A Graphic Control Extension before the image descriptor (the
+    GIF89a norm) is skipped, not fatal."""
+    base = encode_gif(2, 2, bytes([1, 2, 3, 4]))
+    # splice a GCE after header + palette (13 + 768 bytes)
+    cut = 13 + 768
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = base[:cut] + gce + base[cut:]
+    assert decode_gif(spliced)[2] == bytes([1, 2, 3, 4])
+
+
+def test_decoder_total_on_corrupt_bytes():
+    """Truncations/mutations raise ValueError with a gif: reason — never
+    IndexError/struct.error leaking out of the decode stage."""
+    base = encode_gif(8, 8, bytes(range(64)))
+    rng = np.random.default_rng(2)
+    for cut in [0, 5, 6, 12, 13, 100]:
+        with pytest.raises(ValueError):
+            decode_gif(base[:cut])
+    # dropping only the trailer is decodable — the image data is complete
+    assert decode_gif(base[:-1])[2] == bytes(range(64))
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass  # rejected with a reason — fine
+        # any successful decode must still be shape-consistent
+        else:
+            w, h, gray = decode_gif(bytes(b))
+            assert len(gray) == w * h
+
+
+def test_interlace_flag_rejected_cleanly():
+    base = bytearray(encode_gif(4, 4, bytes(range(16))))
+    idesc = 13 + 768  # image descriptor offset
+    assert base[idesc] == 0x2C
+    base[idesc + 9] |= 0x40  # set interlace bit
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(base))

@@ -120,7 +120,8 @@ def test_media_decoder_real_pixels(ray_session):
     })
     media = synth_media_batch(tbl)
     assert set(media.column("media_type").to_pylist()) == {
-        "application/x-fake-image", "image/bmp", "image/png"}
+        "application/x-fake-image", "image/bmp", "image/png",
+        "image/gif"}
     out = (ray.data.from_arrow(media)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=8,
                         batch_format="pyarrow", zero_copy_batch=True)
@@ -129,7 +130,7 @@ def test_media_decoder_real_pixels(ray_session):
     for i in range(30):
         w = 16 + (i * 7) % 48
         h = 16 + (i * 13) % 32
-        raster = _synth_raster(i, w, h, 4096 if i % 3 == 0 else None)
+        raster = _synth_raster(i, w, h, 4096 if i % 4 == 0 else None)
         row = out.loc[i]
         assert row["n_pixels"] == w * h
         arr = np.frombuffer(raster, dtype=np.uint8)
@@ -160,7 +161,8 @@ def test_resize_composes_with_decode(ray_session):
     assert (rt["width"] <= 16).all() and (rt["height"] <= 16).all()
     # container preserved through the resize
     assert set(rt["media_type"]) == {
-        "application/x-fake-image", "image/bmp", "image/png"}
+        "application/x-fake-image", "image/bmp", "image/png",
+        "image/gif"}
     out = (ray.data.from_pandas(rt)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=8,
                         batch_format="pyarrow")
@@ -268,34 +270,40 @@ def test_unfilter_mixed_filters_per_row():
 
 
 def test_jpeg_and_gif_sniffed_and_routed_precisely(ray_session):
-    """Round-3: FFD8/GIF8xa payloads must land in the error column with a
-    codec-specific reason (not 'unknown'/'no codec'), whatever the
-    declared media_type says."""
+    """Round-3: FFD8 payloads land in the error column with a
+    codec-specific reason; a VALID mislabelled GIF now DECODES (the
+    from-scratch LZW codec replaced the sniff-and-refuse route), and a
+    truncated GIF errors with a gif-specific reason."""
     import ray.data
 
+    from text_extraction_ray.core.gif import encode_gif
     from text_extraction_ray.core.raster import sniff_raster
     from text_extraction_ray.functions.multimodal import FakeMediaDecoder
 
     jfif = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 32
     exif = b"\xff\xd8\xff\xe1\x00\x20Exif\x00\x00" + b"\x00" * 32
-    gif = b"GIF89a" + b"\x00" * 16
+    gif_trunc = b"GIF89a" + b"\x00" * 16
+    gif_ok = encode_gif(4, 4, bytes(range(16)))
     assert sniff_raster(jfif) == "image/jpeg"
     assert sniff_raster(exif) == "image/jpeg"
-    assert sniff_raster(gif) == "image/gif"
+    assert sniff_raster(gif_trunc) == "image/gif"
     assert sniff_raster(b"\xff\xd8\x00") is None  # SOI alone isn't enough
 
     tbl = pa.table({
-        "media_id": pa.array([1, 2, 3], type=pa.int64()),
-        "media": pa.array([jfif, exif, gif], type=pa.binary()),
+        "media_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "media": pa.array([jfif, exif, gif_trunc, gif_ok],
+                          type=pa.binary()),
         # declared types are wrong/unknown — the sniffer must still route
         "media_type": pa.array(["unknown", "application/octet-stream",
-                                "unknown"], type=pa.string()),
+                                "unknown", "unknown"], type=pa.string()),
     })
     out = (ray.data.from_arrow(tbl)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=4,
                         batch_format="pyarrow")
            .to_pandas().sort_values("media_id"))
-    assert (~out["decode_ok"]).all()
     assert out.iloc[0]["error"].startswith("jpeg: recognized")
     assert out.iloc[1]["error"].startswith("jpeg: recognized")
-    assert out.iloc[2]["error"].startswith("gif: recognized")
+    assert not out.iloc[2]["decode_ok"]
+    assert out.iloc[2]["error"].startswith("gif:")
+    assert out.iloc[3]["decode_ok"]
+    assert out.iloc[3]["n_pixels"] == 16

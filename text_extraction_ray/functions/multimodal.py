@@ -34,6 +34,7 @@ from ..core.raster import (
 FAKE_MEDIA_TYPE = "application/x-fake-image"
 BMP_MEDIA_TYPE = "image/bmp"
 PNG_MEDIA_TYPE = "image/png"
+GIF_MEDIA_TYPE = "image/gif"
 _HEADER = struct.Struct("<HH")  # width, height
 
 
@@ -48,27 +49,33 @@ def _synth_raster(i: int, w: int, h: int, cap: int | None = None) -> bytes:
 
 def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
                       text_col: str = "text") -> pa.Table:
-    """Derive a deterministic 'image' per row, cycling through the three
-    container formats by id: fake-header, real BMP, real PNG — the same
-    pixel function either way, so the decode stage is tested end-to-end
-    against real containers."""
+    """Derive a deterministic 'image' per row, cycling through the four
+    container formats by id: fake-header, real BMP, real PNG, real GIF —
+    the same pixel function either way, so the decode stage is tested
+    end-to-end against real containers (GIF joined in round 3: from-
+    scratch LZW codec in core/gif.py)."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     media, mtype, width, height = [], [], [], []
     for i, t in zip(ids, texts):
         w = 16 + (i * 7) % 48
         h = 16 + (i * 13) % 32
-        variant = i % 3
+        variant = i % 4
         if variant == 0:
             media.append(_HEADER.pack(w, h) + _synth_raster(i, w, h, 4096))
             mtype.append(FAKE_MEDIA_TYPE)
         elif variant == 1:
             media.append(encode_bmp(w, h, _synth_raster(i, w, h)))
             mtype.append(BMP_MEDIA_TYPE)
-        else:
+        elif variant == 2:
             media.append(encode_png(w, h, _synth_raster(i, w, h),
                                     filter_type=i % 5))
             mtype.append(PNG_MEDIA_TYPE)
+        else:
+            from ..core.gif import encode_gif
+
+            media.append(encode_gif(w, h, _synth_raster(i, w, h)))
+            mtype.append(GIF_MEDIA_TYPE)
         width.append(w)
         height.append(h)
     return pa.table(
@@ -129,6 +136,10 @@ def _decode_any(media_type: str, payload: bytes) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if media_type == PNG_MEDIA_TYPE:
         return decode_png(payload)
+    if media_type == GIF_MEDIA_TYPE:
+        from ..core.gif import decode_gif
+
+        return decode_gif(payload)
     # Unknown/missing declared type: sniff the payload so the error column
     # carries a PRECISE reason — a mislabelled crawl JPEG reads
     # "jpeg: recognized but no decoder", not "no codec for 'unknown'".
@@ -138,9 +149,10 @@ def _decode_any(media_type: str, payload: bytes) -> tuple[int, int, bytes]:
             "jpeg: recognized (FFD8 magic) but no JPEG decoder in this "
             "environment — plug PIL/libjpeg here")
     if sniffed == "image/gif":
-        raise NotImplementedError(
-            "gif: recognized (GIF8xa magic) but no GIF decoder in this "
-            "environment — plug PIL here")
+        # mislabelled but decodable since round 3's from-scratch codec
+        from ..core.gif import decode_gif
+
+        return decode_gif(payload)
     if sniffed is not None and sniffed != media_type:
         raise NotImplementedError(
             f"payload sniffs as {sniffed!r} but is declared "
@@ -157,6 +169,10 @@ def _encode_any(media_type: str, w: int, h: int, gray: bytes) -> bytes:
         return encode_bmp(w, h, gray)
     if media_type == PNG_MEDIA_TYPE:
         return encode_png(w, h, gray)
+    if media_type == GIF_MEDIA_TYPE:
+        from ..core.gif import encode_gif
+
+        return encode_gif(w, h, gray)
     raise NotImplementedError(f"no encoder for {media_type!r}")
 
 
