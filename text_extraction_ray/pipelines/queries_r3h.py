@@ -136,9 +136,14 @@ def q_docs_lm_score(sf_dir: str) -> ray.data.Dataset:
     ac = (bgc.groupby("a")
           .aggregate(Sum("cab", alias_name="ca"))
           .repartition(8))
-    joined = (bg.join(bgc, join_type="inner", num_partitions=8,
-                      on=("a", "b"))
-              .join(ac, join_type="inner", num_partitions=8, on=("a",)))
+    # attach ca to the MODEL table first (aggregate-sized join: vocab²
+    # rows vs vocab rows), so the per-document rows pay only ONE
+    # fact-sized shuffle — the original plan joined bg twice and the
+    # second fact shuffle was pure waste
+    model = bgc.join(ac, join_type="inner", num_partitions=8,
+                     on=("a",))
+    joined = bg.join(model, join_type="inner", num_partitions=8,
+                     on=("a", "b"))
 
     def partial_score(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy(zero_copy_only=False).astype(
