@@ -74,10 +74,28 @@ def test_decoder_total_on_corrupt_bytes():
             assert len(gray) == w * h
 
 
-def test_interlace_flag_rejected_cleanly():
-    base = bytearray(encode_gif(4, 4, bytes(range(16))))
+def test_interlaced_image_decodes():
+    """An interlaced GIF (rows stored in 4-pass order, flag set)
+    decodes to the original raster."""
+    from text_extraction_ray.core.gif import _interlace_rows
+
+    w, h = 5, 13
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, w * h, dtype=np.int64).astype(
+        np.uint8).tobytes()
+    # store rows in interlace order, then set the flag on the container
+    rows = [gray[r * w:(r + 1) * w] for r in _interlace_rows(h)]
+    base = bytearray(encode_gif(w, h, b"".join(rows)))
     idesc = 13 + 768  # image descriptor offset
     assert base[idesc] == 0x2C
-    base[idesc + 9] |= 0x40  # set interlace bit
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(base))
+    base[idesc + 9] |= 0x40
+    w2, h2, back = decode_gif(bytes(base))
+    assert (w2, h2) == (w, h)
+    assert back == gray
+
+
+def test_interlace_rows_is_a_permutation():
+    from text_extraction_ray.core.gif import _interlace_rows
+
+    for h in range(1, 40):
+        assert sorted(_interlace_rows(h)) == list(range(h))

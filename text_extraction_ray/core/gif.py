@@ -203,8 +203,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload,
                                                     pos)
     pos += 9
-    if ipacked & 0x40:
-        raise ValueError("gif: interlaced images unsupported")
+    interlaced = bool(ipacked & 0x40)
     if ipacked & 0x80:
         n = 2 << (ipacked & 0x07)
         palette = payload[pos:pos + 3 * n]
@@ -228,8 +227,27 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         lzw += payload[pos:pos + n]
         pos += n
     indices = _lzw_decode(bytes(lzw), iw * ih)
+    if interlaced:
+        indices = _deinterlace(indices, iw, ih)
     lum = bytes((palette[3 * i] + palette[3 * i + 1]
                  + palette[3 * i + 2]) // 3
                 for i in range(len(palette) // 3))
     gray = bytes(lum[i] for i in indices)
     return iw, ih, gray
+
+
+def _interlace_rows(h: int) -> list[int]:
+    """GIF Adam-style 4-pass row order: every 8th from 0, every 8th
+    from 4, every 4th from 2, every 2nd from 1."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def _deinterlace(indices: bytes, w: int, h: int) -> bytes:
+    out = bytearray(len(indices))
+    for stored, actual in enumerate(_interlace_rows(h)):
+        out[actual * w:(actual + 1) * w] = \
+            indices[stored * w:(stored + 1) * w]
+    return bytes(out)
