@@ -62,18 +62,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 48 of 83 queries (round 3 added a
-    recursive-CTE oracle for neardup_clusters).  Rows-only (approximate
-    or inherently non-SQL): minhash/simhash (seeded permutation hashes),
-    FNV fingerprint, ann_lsh/ann_ivf (approximate by construction),
-    seeded sample, multimodal decode/resize/frame-sample/audio, the
-    extraction pipelines over the synthetic pages corpus, and the
-    round-3 additions whose DuckDB parity runs in pytest instead
-    (tests/test_queries_r3 + test_queries_r3b — the driver's 50-row
-    window is fully
-    allocated: 48 oracled + extract_pages + pdf_tables).  queries()
-    orders oracled entries FIRST so a driver-side cap can only truncate
-    rows-only checks."""
+    names as the Ray results) — 48 of 123 registered queries (round 3
+    added a recursive-CTE oracle for neardup_clusters; the driver's
+    50-row window is fully allocated: 48 oracled + extract_pages +
+    pdf_tables, so queries() orders oracled entries FIRST and a
+    driver-side cap can only truncate rows-only checks).  Of the 75
+    rows-only queries, the SQL-expressible ones carry the SAME
+    DuckDB-parity check in pytest (tests/test_queries_r3*.py — one
+    parity_sql_r3x() table per batch); the rest are approximate or
+    inherently non-SQL by nature: minhash/simhash (seeded permutation
+    hashes), FNV fingerprint, ann_lsh/ann_ivf/ann_pq (approximate by
+    construction), sketches, seeded samples, k-means (iterative),
+    multimodal decode/resize/frame-sample/audio/dHash, and the
+    extraction pipelines over the synthetic pages corpus."""
     from text_extraction_ray.pipelines.queries import oracle_sql as _o
 
     return _o()
