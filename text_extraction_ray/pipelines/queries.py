@@ -744,6 +744,7 @@ def queries() -> dict:
     from .queries_r3m import queries_r3m
     from .queries_r3n import queries_r3n
     from .queries_r3o import queries_r3o
+    from .queries_r3p import queries_r3p
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -760,6 +761,7 @@ def queries() -> dict:
     base.update(queries_r3m())
     base.update(queries_r3n())
     base.update(queries_r3o())
+    base.update(queries_r3p())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
