@@ -44,32 +44,37 @@ def test_dup_ngrams_matches_duckdb(ray_session):
     _assert_same(q_docs_dup_ngrams(SF_DIR), _duck(SQL_DOCS_DUP_NGRAMS))
 
 
-def test_dup_ngrams_planted_duplicates(ray_session):
-    """Two docs sharing an exact 6-token run both score dup 5-grams;
-    a unique doc scores 0."""
-    import ray as _ray
-
-    from text_extraction_ray.pipelines import queries_r3p as m
+def test_dup_ngrams_planted_duplicates():
+    """Gram hashes: two docs sharing an exact 6-token run share exactly
+    2 gram hashes; a unique doc shares none; within-doc repetition
+    keeps multiplicity."""
+    from text_extraction_ray.pipelines.queries_r3p import _doc_gram_hashes
 
     shared = "alpha beta gamma delta epsilon zeta"
-    t = pa.table({
-        "doc_id": pa.array([1, 2, 3], pa.int64()),
-        "text": pa.array([shared + " one two three",
-                          "x y " + shared,
-                          "totally unique words only here now"]),
-    })
-    dg = (_ray.data.from_arrow(t).repartition(3)
-          .map_batches(m._doc_gram_rows, batch_format="pyarrow"))
-    from ray.data.aggregate import Count, Sum
-    gd = dg.groupby("g").aggregate(Count(alias_name="n_docs"))
-    joined = dg.join(gd, join_type="inner", num_partitions=2, on=("g",))
-    df = joined.to_pandas()
-    per = df.groupby("doc_id").apply(
-        lambda d: d.loc[d.n_docs >= 2, "occ"].sum() / d.occ.sum(),
-        include_groups=False)
-    # shared run of 6 tokens => 2 shared 5-grams per doc
-    assert per[1] > 0 and per[2] > 0
-    assert per[3] == 0
+    texts = [shared + " one two three",
+             "x y " + shared,
+             "totally unique words only here now",
+             "a b a b a b a b a b"]
+    out = dict(_doc_gram_hashes(texts))
+    assert set(out) == {0, 1, 2, 3}
+    assert len(set(out[0]) & set(out[1])) == 2   # 6-token run → 2 5-grams
+    assert not set(out[2]) & (set(out[0]) | set(out[1]))
+    # doc 3: 10 tokens → 6 grams but only 2 distinct ('a b a b a'/'b a b a b')
+    assert out[3].size == 6 and np.unique(out[3]).size == 2
+
+
+def test_dup_ngrams_join_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the distributed-join fallback (cap=0) and pin it to the
+    broadcast path's result — the adaptive switch must be invisible."""
+    from text_extraction_ray.pipelines import queries_r3p as m
+
+    base = _norm(_to_pandas(m.q_docs_dup_ngrams(SF_DIR)))
+    monkeypatch.setattr(m, "DUP_BROADCAST_CAP", 0)
+    forced = _norm(_to_pandas(m.q_docs_dup_ngrams(SF_DIR)))
+    assert base.shape == forced.shape
+    assert (base.doc_id.tolist() == forced.doc_id.tolist()
+            and base.n_grams.tolist() == forced.n_grams.tolist())
+    assert np.allclose(base.dup_frac, forced.dup_frac, atol=1e-9)
 
 
 def test_lang_resample_matches_duckdb(ray_session):

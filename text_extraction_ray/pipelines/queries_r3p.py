@@ -8,12 +8,15 @@ extract_pages + pdf_tables; see queries.py:queries() ordering note):
 
 - ``docs_dup_ngrams`` — per-document duplicate-5-gram fraction
   (the RefinedWeb / Gopher "fraction of characters in duplicated
-  n-grams" quality signal, token-5-gram variant).  Two bounded
-  shuffles: (doc, gram, occ) rows — grams already deduped per doc —
-  keyed by gram for the document-frequency count, then a native hash
-  join back and a doc-keyed sum.  At crawl scale the gram strings
-  would shuffle as 16-byte content hashes instead (collision odds
-  ~n²/2¹²⁸); the string form here keeps the SQL twin exact.
+  n-grams" quality signal, token-5-gram variant).  Grams shuffle as
+  64-bit polynomial hashes over per-batch-cached token FNV hashes
+  (never as strings), map-side combined into per-batch document
+  frequency partials — ONE int64-pair shuffle — then the dup set
+  (DF ≥ 2) is broadcast and probed in a second scan when it fits
+  under DUP_BROADCAST_CAP, else a distributed hash join takes over
+  (adaptive bounded-broadcast, same shape as doc_top_terms).  The
+  DuckDB twin compares gram STRINGS; parity holds because 64-bit
+  collisions are ~n²/2⁶⁵ and deterministic.
 - ``docs_lang_resample`` — deterministic temperature resampling of
   the language mix (mT5/UNIMAX-style, α=0.5): language l is kept at
   rate (c_min/c_l)^0.5 so the kept histogram flattens toward
@@ -48,8 +51,11 @@ import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
+
+from ..functions.dedup import _fnv1a64_many
 
 _PYA = {"batch_format": "pyarrow"}
 
@@ -71,71 +77,170 @@ def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
 
 # --- duplicate n-gram fraction ---------------------------------------------
 
-def _doc_gram_rows(b: pa.Table) -> pa.Table:
-    """Per doc: unique 5-grams with within-doc occurrence counts.
-    Docs with <5 tokens emit nothing (no 5-grams — matches the SQL
-    twin's empty generate_series)."""
-    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = b.column("text").to_pylist()
-    out_id, out_g, out_occ = [], [], []
-    for did, txt in zip(ids, texts):
-        toks = np.array(txt.split(" "))
-        n = toks.size
+# polynomial gram-hash multipliers: A^4..A^0 (mod 2^64) for a random odd A
+_GRAM_A = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_POW = np.array([0x9E3779B97F4A7C15] * 5, dtype=np.uint64)
+for _i in range(1, 5):
+    _GRAM_POW[: 5 - _i] *= _GRAM_A
+_GRAM_POW[4] = np.uint64(1)
+
+DUP_BROADCAST_CAP = 2_000_000  # dup-gram hashes broadcast below this
+
+
+def _doc_gram_hashes(texts: list[str]):
+    """Yield (row_index, uint64 gram-hash array) per doc with ≥5 tokens.
+    Tokens are FNV-hashed ONCE per unique token in the batch (Zipf makes
+    this ≪ total positions), then 5-gram hashes are a vectorized
+    polynomial combine — gram equality ⇔ token-sequence equality up to
+    64-bit collisions (~n²/2⁶⁵, negligible and deterministic)."""
+    import pandas as pd
+
+    toks_per_doc = [t.split(" ") for t in texts]
+    flat: list[str] = []
+    for toks in toks_per_doc:
+        flat.extend(toks)
+    if not flat:
+        return
+    # hash-based factorize beats sort-based np.unique on object strings
+    inv, uniq = pd.factorize(np.array(flat, dtype=object), sort=False)
+    th = _fnv1a64_many([t.encode("utf-8") for t in uniq])
+    pos = 0
+    for i, toks in enumerate(toks_per_doc):
+        n = len(toks)
+        hv = th[inv[pos: pos + n]]
+        pos += n
         if n < 5:
             continue
-        g = toks[: n - 4]
-        for k in range(1, 5):
-            g = np.char.add(np.char.add(g, " "), toks[k: n - 4 + k])
-        uniq, cnt = np.unique(g, return_counts=True)
-        out_id.append(np.full(uniq.size, did, dtype=np.int64))
-        out_g.append(uniq)
-        out_occ.append(cnt.astype(np.int64))
-    if not out_id:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "g": pa.array([], pa.string()),
-                         "occ": pa.array([], pa.int64())})
-    return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
-                     "g": pa.array(np.concatenate(out_g)),
-                     "occ": pa.array(np.concatenate(out_occ))})
+        g = np.zeros(n - 4, dtype=np.uint64)
+        for k in range(5):
+            g += hv[k: n - 4 + k] * _GRAM_POW[k]
+        # finalize (xorshift) so low bits mix for the hash partitioner
+        g ^= g >> np.uint64(33)
+        g *= np.uint64(0xFF51AFD7ED558CCD)
+        g ^= g >> np.uint64(33)
+        # int64 view: Ray's hash aggregate keeps int64 keys native
+        # (uint64 falls back to pickled-object columns)
+        yield i, g.view(np.int64)
+
+
+def _gram_df_rows(b: pa.Table) -> pa.Table:
+    """Map-side combined document-frequency partials: (gh, cnt) where
+    cnt = #docs IN THIS BATCH containing gh (docs never span batches,
+    so groupby-sum of cnt == corpus document frequency)."""
+    texts = b.column("text").to_pylist()
+    per_doc = [np.unique(g) for _, g in _doc_gram_hashes(texts)]
+    if not per_doc:
+        return pa.table({"gh": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    gh, cnt = np.unique(np.concatenate(per_doc), return_counts=True)
+    return pa.table({"gh": pa.array(gh), "cnt": pa.array(cnt.astype(np.int64))})
 
 
 def q_docs_dup_ngrams(sf_dir: str) -> ray.data.Dataset:
-    """Fraction of each doc's 5-gram occurrences whose 5-gram appears
-    in ≥2 distinct documents corpus-wide."""
-    dg = (_read(sf_dir, "documents", ["doc_id", "text"])
-          .map_batches(_doc_gram_rows, **_PYA))
-    # document frequency per gram: dg has one row per (doc, gram), so
-    # Count == number of distinct docs containing the gram.
-    gd = dg.groupby("g").aggregate(Count(alias_name="n_docs"))
-    joined = dg.join(gd, join_type="inner", num_partitions=4,
-                     on=("g",))
+    """Fraction of each doc's 5-gram occurrences whose 5-gram appears in
+    ≥2 distinct documents corpus-wide (RefinedWeb/Gopher signal).
 
-    def mark(t: pa.Table) -> pa.Table:
-        occ = t.column("occ").to_numpy(zero_copy_only=False)
-        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+    Plan: ONE int64-pair shuffle (map-side combined DF partials) → dup
+    set (DF ≥ 2); if the dup set is ≤ DUP_BROADCAST_CAP it is broadcast
+    (ray.put, sorted, searchsorted probe — the common case: the dup set
+    is the duplicated MINORITY of grams), else the probe runs as a
+    distributed hash join of per-doc gram rows against the dup table —
+    the same adaptive bounded-broadcast shape as doc_top_terms.  No
+    doc-keyed shuffle in the broadcast path: the per-doc result is
+    computed inside the second scan."""
+    import logging
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize: the dup table is consumed twice (count + probe side);
+    # it is post-aggregation AND post-filter — the duplicated minority
+    # of the gram space, already its compact (gh, n_docs) form — so this
+    # is a bounded, spillable hold, not a full-input materialization.
+    dfreq = (docs.map_batches(_gram_df_rows, **_PYA)
+             .groupby("gh").aggregate(Sum("cnt", alias_name="n_docs"))
+             .filter(expr="n_docs >= 2")
+             .materialize())
+    n_dup = dfreq.count()
+    if n_dup <= DUP_BROADCAST_CAP:
+        dup = np.sort(np.asarray(
+            dfreq.to_pandas()["gh"].to_numpy(), dtype=np.int64))
+        dup_ref = ray.put(dup)
+
+        def score(b: pa.Table) -> pa.Table:
+            dset = ray.get(dup_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            out_id, out_n, out_f = [], [], []
+            for i, g in _doc_gram_hashes(b.column("text").to_pylist()):
+                idx = np.searchsorted(dset, g)
+                idx[idx == dset.size] = 0
+                d = int(np.count_nonzero(dset[idx] == g)) if dset.size \
+                    else 0
+                out_id.append(ids[i])
+                out_n.append(g.size)
+                out_f.append(d / g.size)
+            return pa.table({
+                "doc_id": pa.array(np.array(out_id, dtype=np.int64)),
+                "n_grams": pa.array(np.array(out_n, dtype=np.int64)),
+                "dup_frac": pa.array(_round_half_up(
+                    np.array(out_f, dtype=np.float64), 6)),
+            })
+
+        return docs.map_batches(score, **_PYA)
+
+    logging.getLogger(__name__).warning(
+        "dup-gram set %d > %d: distributed-join path", n_dup,
+        DUP_BROADCAST_CAP)
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_g, out_occ, tot_id, tot_n = [], [], [], [], []
+        for i, g in _doc_gram_hashes(b.column("text").to_pylist()):
+            u, c = np.unique(g, return_counts=True)
+            out_id.append(np.full(u.size, ids[i], dtype=np.int64))
+            out_g.append(u)
+            out_occ.append(c.astype(np.int64))
+            tot_id.append(ids[i])
+            tot_n.append(g.size)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "gh": pa.array([], pa.int64()),
+                          "occ": pa.array([], pa.int64())})
+        if not out_id:
+            return empty
         return pa.table({
-            "doc_id": t.column("doc_id"),
-            "occ": t.column("occ"),
-            "dup_occ": pa.array(np.where(nd >= 2, occ, 0)),
-        })
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "gh": pa.array(np.concatenate(out_g)),
+            "occ": pa.array(np.concatenate(out_occ))})
 
-    per_doc = (joined.map_batches(mark, **_PYA)
+    def totals(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = [(ids[i], g.size)
+                for i, g in _doc_gram_hashes(b.column("text").to_pylist())]
+        return pa.table({
+            "doc_id": pa.array(np.array([r[0] for r in rows],
+                                        dtype=np.int64)),
+            "n_grams": pa.array(np.array([r[1] for r in rows],
+                                         dtype=np.int64))})
+
+    dup_occ = (docs.map_batches(gram_rows, **_PYA)
+               .join(dfreq, join_type="inner", num_partitions=8,
+                     on=("gh",))
                .groupby("doc_id")
-               .aggregate(Sum("occ", alias_name="n_grams"),
-                          Sum("dup_occ", alias_name="dup_occ")))
+               .aggregate(Sum("occ", alias_name="dup_occ")))
+    both = (docs.map_batches(totals, **_PYA)
+            .join(dup_occ, join_type="left_outer", num_partitions=8,
+                  on=("doc_id",)))
 
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("n_grams").to_numpy(zero_copy_only=False).astype(
             np.float64)
-        d = t.column("dup_occ").to_numpy(zero_copy_only=False).astype(
-            np.float64)
+        d = np.nan_to_num(t.column("dup_occ").to_numpy(
+            zero_copy_only=False).astype(np.float64))
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_grams": pc.cast(t.column("n_grams"), pa.int64()),
             "dup_frac": pa.array(_round_half_up(d / n, 6)),
         })
 
-    return per_doc.map_batches(finish, **_PYA)
+    return both.map_batches(finish, **_PYA)
 
 
 SQL_DOCS_DUP_NGRAMS = """
