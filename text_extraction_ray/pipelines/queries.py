@@ -746,6 +746,7 @@ def queries() -> dict:
     from .queries_r3o import queries_r3o
     from .queries_r3p import queries_r3p
     from .queries_r3q import queries_r3q
+    from .queries_r3r import queries_r3r
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -764,6 +765,7 @@ def queries() -> dict:
     base.update(queries_r3o())
     base.update(queries_r3p())
     base.update(queries_r3q())
+    base.update(queries_r3r())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
