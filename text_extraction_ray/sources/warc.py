@@ -121,6 +121,31 @@ def _record_from(headers: dict[bytes, bytes], content: bytes):
     return url, ts, body
 
 
+def inflate_members(data: bytes) -> bytes:
+    """Decompress a (possibly gzip-member) buffer with prefix salvage:
+    corrupt or truncated gzip yields the readable prefix member-by-member
+    instead of raising (shared by the WARC and WET parsers)."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    try:
+        return gzip.decompress(data)  # handles concatenated members
+    except Exception:
+        import zlib
+
+        out = bytearray()
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(31)
+            try:
+                out += d.decompress(data[pos:])
+            except zlib.error:
+                break
+            if not d.eof or not d.unused_data:
+                break
+            pos = len(data) - len(d.unused_data)
+        return bytes(out)
+
+
 def parse_warc(data: bytes):
     """Yield (url, warc_ts_us, body_bytes) for every response record.
 
@@ -128,24 +153,7 @@ def parse_warc(data: bytes):
     gzip salvages the readable prefix member-by-member instead of
     raising — a damaged archive yields its intact records, a hopeless
     one yields nothing."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = gzip.decompress(data)  # handles concatenated members
-        except Exception:
-            import zlib
-
-            out = bytearray()
-            pos = 0
-            while pos < len(data):
-                d = zlib.decompressobj(31)
-                try:
-                    out += d.decompress(data[pos:])
-                except zlib.error:
-                    break
-                if not d.eof or not d.unused_data:
-                    break
-                pos = len(data) - len(d.unused_data)
-            data = bytes(out)
+    data = inflate_members(data)
     pos = 0
     n = len(data)
     while pos < n:

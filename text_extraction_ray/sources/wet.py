@@ -64,24 +64,9 @@ def write_wet(path: str, records, gzip_members: bool = True) -> str:
 def parse_wet(data: bytes):
     """Yield (url, warc_ts, text) for every conversion record; same
     gzip-member salvage semantics as parse_warc (total function)."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = gzip.decompress(data)
-        except Exception:
-            import zlib
+    from .warc import inflate_members
 
-            out = bytearray()
-            pos = 0
-            while pos < len(data):
-                d = zlib.decompressobj(31)
-                try:
-                    out += d.decompress(data[pos:])
-                except zlib.error:
-                    break
-                if not d.eof or not d.unused_data:
-                    break
-                pos = len(data) - len(d.unused_data)
-            data = bytes(out)
+    data = inflate_members(data)
     pos = 0
     n = len(data)
     while pos < n:
