@@ -176,3 +176,40 @@ def test_pagerank_distributed_branch_matches_driver(ray_session):
         "host")["rank"]
     assert sorted(drv.index) == sorted(dist.index)
     assert np.allclose(drv[dist.index], dist, atol=1e-12)
+
+
+def test_canonicalize_url_cases():
+    from text_extraction_ray.core.links import canonicalize_url as c
+
+    assert c("HTTP://Site.Example:80/a//b/../c?z=1&a=2#frag") == \
+        "http://site.example/a/c?a=2&z=1"
+    assert c("https://h.example:443/") == "https://h.example/"
+    assert c("https://h.example") == "https://h.example/"
+    assert c("https://h.example/p?utm_source=x&q=1") == \
+        "https://h.example/p?q=1"
+    assert c("https://h.example/a/b/..") == "https://h.example/a"
+    assert c("https://h.example/../x") == "https://h.example/x"
+    # kept distinct on purpose: trailing slash, www, %-escapes
+    assert c("https://h.example/a/") != c("https://h.example/a")
+    assert c("https://www.h.example/") != c("https://h.example/")
+    # idempotent
+    for u in ["HTTP://A.B:80/x/../y?b=2&a=1#f", "https://q.example//z?utm_term=t"]:
+        assert c(c(u)) == c(u)
+
+
+def test_canonicalize_batch_collapses_variants(ray_session):
+    import ray as _ray
+
+    from text_extraction_ray.core.links import canonicalize_batch
+
+    t = pa.table({"url": pa.array([
+        "https://h.example/a?x=1&y=2",
+        "https://h.example/a?y=2&x=1#frag",
+        "HTTPS://H.EXAMPLE:443/b/../a?utm_source=s&x=1&y=2",
+        "https://h.example/other",
+    ])})
+    ds = _ray.data.from_arrow(t).repartition(2).map_batches(
+        canonicalize_batch, batch_format="pyarrow")
+    df = ds.to_pandas()
+    assert df.canonical_url.nunique() == 2
+    assert (df.canonical_url == "https://h.example/a?x=1&y=2").sum() == 3

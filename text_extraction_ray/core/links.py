@@ -199,3 +199,66 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
         rank = (1.0 - damping) / n + damping * (acc + dangling / n)
     return pa.table({"host": pa.array(hosts, pa.string()),
                      "rank": pa.array(rank)})
+
+
+# --- URL canonicalization ---------------------------------------------------
+
+_TRACKING_PARAMS = frozenset({
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref", "referrer",
+})
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Crawl-frontier canonical form (the dedup key two syntactically
+    different URLs of the same resource collapse to):
+
+    - scheme + host lowercased; default port stripped
+    - fragment stripped; dot-segments resolved (via urljoin identity)
+    - query params sorted by (key, value); tracking params dropped;
+      empty query '?' stripped
+    - duplicate slashes in the path collapsed; empty path -> '/'
+
+    Deliberately NOT applied (they change the resource on real sites):
+    trailing-slash stripping, www-prefix stripping, %-escape decoding.
+    """
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    u = urlsplit(urldefrag(url).url)
+    scheme = u.scheme.lower()
+    netloc = u.netloc.lower()
+    if scheme in _DEFAULT_PORTS and netloc.endswith(_DEFAULT_PORTS[scheme]):
+        netloc = netloc[: -len(_DEFAULT_PORTS[scheme])]
+    path = u.path or "/"
+    while "//" in path:
+        path = path.replace("//", "/")
+    # RFC 3986 §5.2.4 remove_dot_segments
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    path = "/".join(out) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    pairs = [(k, v) for k, v in parse_qsl(u.query, keep_blank_values=True)
+             if k.lower() not in _TRACKING_PARAMS]
+    query = urlencode(sorted(pairs))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_batch(b: pa.Table, url_col: str = "url",
+                       out_col: str = "canonical_url") -> pa.Table:
+    """map_batches stage: append the canonical form of ``url_col`` —
+    the dedup / frontier key column (group on it + first to collapse
+    syntactic variants; the exact-dedup min-id rule applies unchanged).
+    """
+    urls = b.column(url_col).to_pylist()
+    return b.append_column(
+        out_col, pa.array([canonicalize_url(u) for u in urls],
+                          pa.string()))
