@@ -164,3 +164,16 @@ def test_r3p_registered_rows_only(ray_session):
     for name in queries_r3p():
         assert name in qs
         assert name not in osql  # driver window stays allocated
+
+
+def test_dup_ngrams_broadcast_path_has_no_doc_shuffle(ray_session):
+    """The scoring pass of the broadcast path must be scan-shaped: the
+    only shuffle in the whole plan is the DF aggregate (already
+    materialized before scoring), never a doc-keyed exchange."""
+    from text_extraction_ray.pipelines.queries_r3p import q_docs_dup_ngrams
+
+    out = q_docs_dup_ngrams("/root/testdata/sf0.001").materialize()
+    stats = out.stats()
+    for op in ("Sort", "Aggregate", "Shuffle", "Repartition", "Join"):
+        assert op not in stats, f"unexpected {op} in:\n{stats[:800]}"
+    assert "MapBatches" in stats and "ReadParquet" in stats
