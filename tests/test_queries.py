@@ -285,6 +285,16 @@ _ROWS_ONLY_SCHEMAS = {
     "nation_revenue_share": ['c_nationkey', 'pct_share', 'revenue'],
     "events_dedup_hourly": ['event_id', 'event_type', 'hour', 'user_id'],
     "ann_pq": ['cos_pq', 'vec_id'],
+    # round-3 batches P-S (DuckDB parity twins live in their pytest
+    # modules; the driver records these rows-only)
+    "corpus_curation": ['n_docs', 'stage'],
+    "docs_dup_ngrams": ['doc_id', 'dup_frac', 'n_grams'],
+    "docs_lang_resample": ['doc_id', 'lang'],
+    "docs_pack_blocks": ['block_id', 'doc_id', 'n_tokens'],
+    "domain_stats": ['fail_rate', 'host', 'mean_chars', 'n_pages'],
+    "host_pagerank": ['host', 'rank'],
+    "link_graph": ['n_internal', 'n_links', 'n_unique_targets', 'src_host'],
+    "wet_roundtrip": ['n_chars', 'sha16', 'url'],
 }
 
 
