@@ -295,6 +295,11 @@ _ROWS_ONLY_SCHEMAS = {
     "host_pagerank": ['host', 'rank'],
     "link_graph": ['n_internal', 'n_links', 'n_unique_targets', 'src_host'],
     "wet_roundtrip": ['n_chars', 'sha16', 'url'],
+    # round-3 batch T
+    "docs_span_dedup": ['clean_md5', 'doc_id', 'n_chunks', 'n_kept'],
+    "anchor_text_index": ['host', 'n_refs', 'n_unique_texts', 'top_anchor',
+                          'top_n'],
+    "robots_meta": ['n_meta', 'nofollow', 'noindex', 'url'],
 }
 
 

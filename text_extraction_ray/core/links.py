@@ -23,7 +23,8 @@ from urllib.parse import urldefrag, urljoin, urlsplit
 import numpy as np
 import pyarrow as pa
 
-from .dom import _RAWTEXT_CLOSE_RE, _TAG_RE, RAWTEXT_TAGS, decode_entities
+from .dom import (_END_TAG_RE, _RAWTEXT_CLOSE_RE, _TAG_RE, RAWTEXT_TAGS,
+                  collapse_ws, decode_entities)
 
 _HREF_RE = re.compile(
     r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE)
@@ -262,3 +263,114 @@ def canonicalize_batch(b: pa.Table, url_col: str = "url",
     return b.append_column(
         out_col, pa.array([canonicalize_url(u) for u in urls],
                           pa.string()))
+
+
+# --- anchor text + meta robots -----------------------------------------------
+
+_A_CLOSE_RE = re.compile(r"</a\s*>", re.IGNORECASE)
+
+
+def _strip_markup(fragment: str) -> str:
+    """Inter-tag text of an HTML fragment with the rawtext discipline —
+    a ``<script>`` body inside an anchor contributes no anchor text."""
+    parts: list[str] = []
+    pos = 0
+    n = len(fragment)
+    while pos < n:
+        m = _TAG_RE.search(fragment, pos)
+        e = _END_TAG_RE.search(fragment, pos)
+        if m is None and e is None:
+            parts.append(fragment[pos:])
+            break
+        if e is not None and (m is None or e.start() < m.start()):
+            parts.append(fragment[pos:e.start()])
+            pos = e.end()
+            continue
+        parts.append(fragment[pos:m.start()])
+        pos = m.end()
+        name = m.group(1).lower()
+        if name in RAWTEXT_TAGS and not m.group(3):
+            cm = _RAWTEXT_CLOSE_RE[name].search(fragment, pos)
+            if cm is None:
+                pos = n
+            else:
+                # consume through the close tag's '>' (tokenizer rule,
+                # dom.py:148-150) so it doesn't leak into anchor text
+                gt = fragment.find(">", cm.start())
+                pos = n if gt < 0 else gt + 1
+    return "".join(parts)
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs in document order.  href is the raw
+    entity-decoded attribute value (as ``extract_hrefs``); anchor_text
+    is the whitespace-collapsed inter-tag text up to the first ``</a>``
+    (or the next ``<a`` for unclosed anchors — they don't nest).  Total
+    on malformed HTML."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            break
+        name = m.group(1).lower()
+        if name == "a":
+            hm = _HREF_RE.search(m.group(2))
+            if hm:
+                val = next(g for g in hm.groups() if g is not None)
+                start = m.end()
+                cm = _A_CLOSE_RE.search(html, start)
+                nxt = html.find("<a", start)
+                end = n
+                if cm is not None:
+                    end = cm.start()
+                if 0 <= nxt < end:
+                    end = nxt
+                txt = collapse_ws(
+                    decode_entities(_strip_markup(html[start:end]))).strip()
+                out.append((decode_entities(val.strip()), txt))
+                pos = end if (cm is None or end < cm.start()) else cm.end()
+                continue
+        pos = m.end()
+        if name in RAWTEXT_TAGS and not m.group(3):
+            cm = _RAWTEXT_CLOSE_RE[name].search(html, pos)
+            pos = n if cm is None else cm.end()
+    return out
+
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9_\-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""")
+
+
+def meta_robots_flags(html: str) -> tuple[bool, bool, int]:
+    """(noindex, nofollow, n_meta) from ``<meta name=robots>`` directives.
+
+    Scans start tags with the tokenizer's tag regex (rawtext bodies
+    skipped, so a script echoing a meta string contributes nothing);
+    directives are the comma-separated ``content`` tokens, case-folded.
+    ``none`` means ``noindex, nofollow`` (robots exclusion de-facto
+    standard).  n_meta counts ALL meta tags (charset etc.)."""
+    noindex = nofollow = False
+    n_meta = 0
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            break
+        name = m.group(1).lower()
+        if name == "meta":
+            n_meta += 1
+            attrs = {k.lower(): decode_entities(v1 or v2 or v3 or "")
+                     for k, v1, v2, v3 in _ATTR_RE.findall(m.group(2))}
+            if attrs.get("name", "").strip().lower() == "robots":
+                toks = {t.strip().lower()
+                        for t in attrs.get("content", "").split(",")}
+                noindex |= bool(toks & {"noindex", "none"})
+                nofollow |= bool(toks & {"nofollow", "none"})
+        pos = m.end()
+        if name in RAWTEXT_TAGS and not m.group(3):
+            cm = _RAWTEXT_CLOSE_RE[name].search(html, pos)
+            pos = n if cm is None else cm.end()
+    return noindex, nofollow, n_meta

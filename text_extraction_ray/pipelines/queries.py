@@ -748,6 +748,7 @@ def queries() -> dict:
     from .queries_r3q import queries_r3q
     from .queries_r3r import queries_r3r
     from .queries_r3s import queries_r3s
+    from .queries_r3t import queries_r3t
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -768,6 +769,7 @@ def queries() -> dict:
     base.update(queries_r3q())
     base.update(queries_r3r())
     base.update(queries_r3s())
+    base.update(queries_r3t())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
