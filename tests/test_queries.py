@@ -300,6 +300,10 @@ _ROWS_ONLY_SCHEMAS = {
     "anchor_text_index": ['host', 'n_refs', 'n_unique_texts', 'top_anchor',
                           'top_n'],
     "robots_meta": ['n_meta', 'nofollow', 'noindex', 'url'],
+    # round-3 batch U
+    "pages_nb_confusion": ['label', 'n', 'pred'],
+    "docs_bpe_stats": ['lang', 'n_docs', 'n_pieces', 'n_words',
+                       'pieces_per_word'],
 }
 
 

@@ -749,6 +749,7 @@ def queries() -> dict:
     from .queries_r3r import queries_r3r
     from .queries_r3s import queries_r3s
     from .queries_r3t import queries_r3t
+    from .queries_r3u import queries_r3u
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -770,6 +771,7 @@ def queries() -> dict:
     base.update(queries_r3r())
     base.update(queries_r3s())
     base.update(queries_r3t())
+    base.update(queries_r3u())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
