@@ -304,6 +304,10 @@ _ROWS_ONLY_SCHEMAS = {
     "pages_nb_confusion": ['label', 'n', 'pred'],
     "docs_bpe_stats": ['lang', 'n_docs', 'n_pieces', 'n_words',
                        'pieces_per_word'],
+    # round-3 batch V
+    "frontier_new_urls": ['host', 'n_new', 'n_sitemap'],
+    "frontier_schedule": ['crawl_delay', 'est_seconds', 'first_url',
+                          'host', 'n_allowed', 'n_blocked'],
 }
 
 

@@ -750,6 +750,7 @@ def queries() -> dict:
     from .queries_r3s import queries_r3s
     from .queries_r3t import queries_r3t
     from .queries_r3u import queries_r3u
+    from .queries_r3v import queries_r3v
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -772,6 +773,7 @@ def queries() -> dict:
     base.update(queries_r3s())
     base.update(queries_r3t())
     base.update(queries_r3u())
+    base.update(queries_r3v())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
