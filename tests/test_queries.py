@@ -308,6 +308,10 @@ _ROWS_ONLY_SCHEMAS = {
     "frontier_new_urls": ['host', 'n_new', 'n_sitemap'],
     "frontier_schedule": ['crawl_delay', 'est_seconds', 'first_url',
                           'host', 'n_allowed', 'n_blocked'],
+    # round-3 batch W
+    "bucketed_join_revenue": ['c_mktsegment', 'n_orders', 'revenue'],
+    "docs_deflate_ratio": ['deflate_ratio', 'lang', 'n_bytes',
+                           'n_deflate', 'n_docs'],
 }
 
 

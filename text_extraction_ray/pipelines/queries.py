@@ -751,6 +751,7 @@ def queries() -> dict:
     from .queries_r3t import queries_r3t
     from .queries_r3u import queries_r3u
     from .queries_r3v import queries_r3v
+    from .queries_r3w import queries_r3w
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -774,6 +775,7 @@ def queries() -> dict:
     base.update(queries_r3t())
     base.update(queries_r3u())
     base.update(queries_r3v())
+    base.update(queries_r3w())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
