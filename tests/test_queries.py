@@ -312,6 +312,9 @@ _ROWS_ONLY_SCHEMAS = {
     "bucketed_join_revenue": ['c_mktsegment', 'n_orders', 'revenue'],
     "docs_deflate_ratio": ['deflate_ratio', 'lang', 'n_bytes',
                            'n_deflate', 'n_docs'],
+    # round-3 batch X
+    "snapshot_diff": ['n_urls', 'status'],
+    "events_kmv_distinct": ['event_type', 'n_distinct_est'],
 }
 
 
