@@ -315,6 +315,10 @@ _ROWS_ONLY_SCHEMAS = {
     # round-3 batch X
     "snapshot_diff": ['n_urls', 'status'],
     "events_kmv_distinct": ['event_type', 'n_distinct_est'],
+    # round-3 batch Y
+    "host_template_ratio": ['host', 'n_chunks', 'n_pages',
+                            'template_ratio'],
+    "ann_rp_rescore": ['cos', 'vec_id'],
 }
 
 
