@@ -319,6 +319,10 @@ _ROWS_ONLY_SCHEMAS = {
     "host_template_ratio": ['host', 'n_chunks', 'n_pages',
                             'template_ratio'],
     "ann_rp_rescore": ['cos', 'vec_id'],
+    # round-3 batch Z
+    "pages_boilerplate_frac": ['boilerplate_frac', 'n_bytes',
+                               'tpl_bytes', 'url'],
+    "ann_batch_queries": ['cos', 'qid', 'vec_id'],
 }
 
 

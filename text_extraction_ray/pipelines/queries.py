@@ -754,6 +754,7 @@ def queries() -> dict:
     from .queries_r3w import queries_r3w
     from .queries_r3x import queries_r3x
     from .queries_r3y import queries_r3y
+    from .queries_r3z import queries_r3z
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -780,6 +781,7 @@ def queries() -> dict:
     base.update(queries_r3w())
     base.update(queries_r3x())
     base.update(queries_r3y())
+    base.update(queries_r3z())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
