@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 48 of 131 registered queries (round 3
+    names as the Ray results) — 48 of 146 registered queries (round 3
     added a recursive-CTE oracle for neardup_clusters; the driver's
     50-row window is fully allocated: 48 oracled + extract_pages +
     pdf_tables, so queries() orders oracled entries FIRST and a
