@@ -323,6 +323,10 @@ _ROWS_ONLY_SCHEMAS = {
     "pages_boilerplate_frac": ['boilerplate_frac', 'n_bytes',
                                'tpl_bytes', 'url'],
     "ann_batch_queries": ['cos', 'qid', 'vec_id'],
+    # round-3 batch AA
+    "retrieval_pairs": ['anchor', 'dst_url', 'n_chars', 'text_sha'],
+    "retrieval_hard_negatives": ['anchor', 'cos_neg', 'neg_rank',
+                                 'neg_url', 'pos_url'],
 }
 
 
