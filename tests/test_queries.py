@@ -327,6 +327,9 @@ _ROWS_ONLY_SCHEMAS = {
     "retrieval_pairs": ['anchor', 'dst_url', 'n_chars', 'text_sha'],
     "retrieval_hard_negatives": ['anchor', 'cos_neg', 'neg_rank',
                                  'neg_url', 'pos_url'],
+    # round-3 batch AB
+    "training_mix": ['bucket', 'lang', 'n_kept', 'n_total'],
+    "corpus_datasheet": ['metric', 'value'],
 }
 
 
