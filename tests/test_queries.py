@@ -330,6 +330,10 @@ _ROWS_ONLY_SCHEMAS = {
     # round-3 batch AB
     "training_mix": ['bucket', 'lang', 'n_kept', 'n_total'],
     "corpus_datasheet": ['metric', 'value'],
+    # round-3 batch AC
+    "host_reciprocal_links": ['hi', 'lo', 'n_fwd', 'n_rev',
+                              'reciprocal'],
+    "kwic_search": ['doc_id', 'left_ctx', 'n_hits', 'pos', 'right_ctx'],
 }
 
 
