@@ -48,9 +48,13 @@ def corpus_word_freq(ds, text_col: str = "text", top_k: int = 65536):
 
     from ray.data.aggregate import Sum
 
+    # materialize once: count, the top-k prune and the collect below
+    # would each re-execute the aggregate otherwise (bounded hold —
+    # it's the post-aggregation word table)
     wf = (ds.map_batches(lambda b: word_count_partials(b, text_col),
                          batch_format="pyarrow")
-          .groupby("word").aggregate(Sum("n", alias_name="n")))
+          .groupby("word").aggregate(Sum("n", alias_name="n"))
+          .materialize())
     total = wf.count()
     if total > top_k:
         logging.getLogger(__name__).warning(

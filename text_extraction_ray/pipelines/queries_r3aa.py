@@ -105,7 +105,7 @@ def _extracted(sf_dir: str) -> ray.data.Dataset:
 
     return (dedup_keep_latest(
                 read_pages(_linked_corpus(sf_dir))
-                .map_batches(Extractor, concurrency=4, **_PYA))
+                .map_batches(Extractor, concurrency=(1, 4), **_PYA))
             .filter(expr="parse_ok == True")
             .filter(expr="extracted_text != ''")
             .select_columns(["url", "extracted_text"])
