@@ -143,8 +143,10 @@ def _anchor_rows(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_retrieval_pairs(sf_dir: str) -> ray.data.Dataset:
-    out = _extracted(sf_dir)
+    return _pairs_from(_extracted(sf_dir), sf_dir)
 
+
+def _pairs_from(out: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
     def digest(b: pa.Table) -> pa.Table:
         texts = b.column("extracted_text").to_pylist()
         return pa.table({
@@ -168,8 +170,9 @@ def q_retrieval_pairs(sf_dir: str) -> ray.data.Dataset:
 def q_retrieval_hard_negatives(sf_dir: str) -> ray.data.Dataset:
     out = _extracted(sf_dir)
     # deterministic query panel: lexicographically-first distinct
-    # (anchor, dst_url) pairs
-    qdf = (q_retrieval_pairs(sf_dir)
+    # (anchor, dst_url) pairs — built from the SAME materialized
+    # extraction (one extraction pass feeds pairs and scoring)
+    qdf = (_pairs_from(out, sf_dir)
            .to_pandas()[["anchor", "dst_url"]]
            .sort_values(["anchor", "dst_url"])
            .drop_duplicates("anchor")

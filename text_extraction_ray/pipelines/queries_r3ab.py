@@ -106,15 +106,49 @@ def q_training_mix(sf_dir: str) -> ray.data.Dataset:
 
 def q_corpus_datasheet(sf_dir: str) -> pa.Table:
     """(metric, value) dataset card; every metric is a distributed
-    aggregate, the card itself is a constant-size driver table."""
+    aggregate, the card itself is a constant-size driver table.
+
+    Three passes, not six: ONE per-lang groupby carries doc counts,
+    char sums and char min/max (5 rows → all doc scalars + n_langs),
+    one text-hash groupby carries the exact distinct count, and one
+    per-user groupby carries both event totals."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang",
                                        "n_chars"])
-    g = docs.aggregate(Count(), Sum("n_chars"), Min("n_chars"),
-                       Max("n_chars"))
-    n_docs = g["count()"]
-    total_chars = int(g["sum(n_chars)"])
-    n_langs = (docs.groupby("lang")
-               .aggregate(Count(alias_name="c")).count())
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs = np.array(b.column("lang").to_pylist(), dtype=object)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs, sort=False)
+        rows = {"lang": [], "n": [], "s": [], "mn": [], "mx": []}
+        for gi, lang in enumerate(uniq):
+            m = codes == gi
+            rows["lang"].append(lang)
+            rows["n"].append(int(m.sum()))
+            rows["s"].append(int(nc[m].sum()))
+            rows["mn"].append(int(nc[m].min()))
+            rows["mx"].append(int(nc[m].max()))
+        return pa.table({
+            "lang": pa.array(rows["lang"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "s": pa.array(rows["s"], pa.int64()),
+            "mn": pa.array(rows["mn"], pa.int64()),
+            "mx": pa.array(rows["mx"], pa.int64()),
+        })
+
+    per_lang = (docs.map_batches(lang_partial, **_PYA)
+                .groupby("lang")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s"),
+                           Min("mn", alias_name="mn"),
+                           Max("mx", alias_name="mx"))
+                .to_pandas())
+    n_docs = int(per_lang["n"].sum())
+    total_chars = int(per_lang["s"].sum())
+    n_langs = len(per_lang)
+    g = {"min(n_chars)": int(per_lang["mn"].min()),
+         "max(n_chars)": int(per_lang["mx"].max())}
 
     def text_hash(b: pa.Table) -> pa.Table:
         from ..functions.dedup import _fnv1a64_many
@@ -128,9 +162,12 @@ def q_corpus_datasheet(sf_dir: str) -> pa.Table:
                         .count())
 
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
-    n_events = ev.count()
-    n_users = (ev.groupby("user_id")
-               .aggregate(Count(alias_name="c")).count())
+    # second-level aggregate: (n_users, n_events) from the per-user
+    # table WITHOUT collecting it (user count is corpus-scale)
+    ug = (ev.groupby("user_id").aggregate(Count(alias_name="c"))
+          .aggregate(Count(), Sum("c")))
+    n_users = int(ug["count()"])
+    n_events = int(ug["sum(c)"])
 
     def r6(x: float) -> float:
         return math.floor(x * 1e6 + 0.5) / 1e6
