@@ -334,6 +334,10 @@ _ROWS_ONLY_SCHEMAS = {
     "host_reciprocal_links": ['hi', 'lo', 'n_fwd', 'n_rev',
                               'reciprocal'],
     "kwic_search": ['doc_id', 'left_ctx', 'n_hits', 'pos', 'right_ctx'],
+    # round-3 batch AD
+    "make_training_set": ['n_docs', 'n_tokens', 'shard'],
+    "multi_source_union_stats": ['n_docs', 'source_format',
+                                 'total_chars'],
 }
 
 

@@ -758,6 +758,7 @@ def queries() -> dict:
     from .queries_r3aa import queries_r3aa
     from .queries_r3ab import queries_r3ab
     from .queries_r3ac import queries_r3ac
+    from .queries_r3ad import queries_r3ad
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -788,6 +789,7 @@ def queries() -> dict:
     base.update(queries_r3aa())
     base.update(queries_r3ab())
     base.update(queries_r3ac())
+    base.update(queries_r3ad())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver

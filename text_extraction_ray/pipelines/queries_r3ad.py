@@ -1,0 +1,240 @@
+"""Round-3 continuation batch AD: training-set export + heterogeneous
+source union.
+
+- ``make_training_set`` — the productionize step after curation: the
+  corpus-curation funnel's FINAL survivor set (quality → exact-dedup
+  keeper → decontaminated → temperature-resampled; same rules as
+  ``corpus_curation``, equivalence pinned in pytest against that
+  query AND its DuckDB twin's s4 stage) is applied as a broadcast
+  keep-list (the docs_dedup_apply discipline — survivor ids are the
+  post-curation minority), survivors are hash-assigned to shards
+  (splitmix64(doc_id) % n) and written as PARTITIONED parquet — one
+  ``shard=k/`` directory per shard so a failed export resumes by
+  skipping finished partitions — and the returned manifest
+  (shard, n_docs, n_tokens) is what the trainer's data loader reads.
+  Stamped idempotent per sf_dir.
+- ``multi_source_union_stats`` — the same documents flow in from
+  three FORMATS (parquet + JSONL + CSV fixtures derived from the
+  parquet once), each read by its native Ray Data reader, unioned,
+  and aggregated per source format — heterogeneous-ingest proof that
+  downstream operators are format-blind.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.bucketed import bucket_of
+
+_PYA = {"batch_format": "pyarrow"}
+
+EXPORT_SHARDS = 8
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    from .queries import read_table
+
+    return read_table(sf_dir, table, columns)
+
+
+def curation_survivor_ids(sf_dir: str) -> np.ndarray:
+    """doc_ids surviving the full curation chain — the leaner
+    flags-only replay of q_corpus_curation's plan (same building
+    blocks: quality_batch, encoded min-keeper, broadcast benchmark
+    grams, batch-P thresholds).  Equivalence with the funnel's
+    lang_resampled count and the DuckDB twin's s4 set is pinned in
+    tests/test_queries_r3ad.py."""
+    from ..functions.textstats import quality_batch
+    from .queries_r3p import lang_keep_thresholds
+    from .queries_r3r import DECONTAM_NGRAM, _bench_gram_set
+
+    grams_ref = ray.put(_bench_gram_set(sf_dir))
+
+    def scan(b: pa.Table) -> pa.Table:
+        grams = ray.get(grams_ref)
+        q = quality_batch(b)
+        sha, contam = [], []
+        for t in b.column("text").to_pylist():
+            t = t or ""
+            sha.append(hashlib.sha256(
+                t.encode("utf-8")).hexdigest()[:32])
+            toks = t.split()
+            contam.append(any(
+                " ".join(toks[i: i + DECONTAM_NGRAM]) in grams
+                for i in range(len(toks) - DECONTAM_NGRAM + 1)))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "text_sha": pa.array(sha),
+            "q_ok": q.column("quality_ok"),
+            "contam": pa.array(contam, pa.bool_()),
+        })
+
+    manifest = (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+                .map_batches(scan, **_PYA)
+                .filter(expr="q_ok")
+                .materialize())
+    langs = sorted({r["lang"] for r in manifest.groupby("lang")
+                    .aggregate(Count(alias_name="n")).take_all()})
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    nl = len(langs)
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        li = np.array([lang_idx[l] for l in
+                       b.column("lang").to_pylist()], dtype=np.int64)
+        contam = b.column("contam").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "text_sha": b.column("text_sha"),
+            "combined": pa.array((ids * nl + li) * 2 + contam),
+        })
+
+    keepers = (manifest.map_batches(encode, **_PYA)
+               .groupby("text_sha")
+               .aggregate(Min("combined", alias_name="v"))
+               .materialize())
+
+    def lang_rows(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        clean = (v & 1) == 0
+        li = (v >> 1) % nl
+        return pa.table({"lang": pa.array(
+            [langs[i] for i in li[clean]], pa.string())})
+
+    counts = {r["lang"]: int(r["n"])
+              for r in keepers.map_batches(lang_rows, **_PYA)
+              .groupby("lang").aggregate(Count(alias_name="n"))
+              .take_all()}
+    thr = lang_keep_thresholds(counts)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        clean = (v & 1) == 0
+        li = (v >> 1) % nl
+        ids = (v >> 1) // nl
+        keep = []
+        for i in np.nonzero(clean)[0]:
+            t = thr.get(langs[li[i]])
+            if t is None or hashlib.md5(
+                    str(ids[i]).encode()).hexdigest()[:8] < t:
+                keep.append(ids[i])
+        return pa.table({"doc_id": pa.array(
+            np.array(keep, dtype=np.int64))})
+
+    out = (keepers.map_batches(survivors, **_PYA).to_pandas()
+           ["doc_id"].to_numpy())
+    return np.sort(out.astype(np.int64))
+
+
+def q_make_training_set(sf_dir: str) -> ray.data.Dataset:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"tx_trainset_{tag}")
+    stamp = os.path.join(root, "_STAMP")
+    keep = curation_survivor_ids(sf_dir)
+    want = f"v=1 n={keep.size} shards={EXPORT_SHARDS}"
+    if not (os.path.exists(stamp) and open(stamp).read() == want):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        keep_ref = ray.put(keep)
+
+        def select(b: pa.Table) -> pa.Table:
+            ks = ray.get(keep_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, ids)
+            idx[idx == ks.size] = 0
+            b = b.filter(pa.array(ks[idx] == ids))
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = [len(t.split()) for t in
+                    b.column("text").to_pylist()]
+            b = b.append_column(
+                "n_tokens", pa.array(np.array(toks, dtype=np.int64)))
+            return b.append_column(
+                "shard", pa.array(bucket_of(ids, EXPORT_SHARDS)))
+
+        (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+         .map_batches(select, **_PYA)
+         .write_parquet(os.path.join(root, "data"),
+                        partition_cols=["shard"]))
+        with open(stamp, "w") as f:
+            f.write(want)
+    return (ray.data.read_parquet(os.path.join(root, "data"))
+            .map_batches(lambda b: pa.table({
+                "shard": pa.compute.cast(b.column("shard"), pa.int64()),
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_tokens": b.column("n_tokens")}), **_PYA)
+            .groupby("shard")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))
+
+
+def _format_fixtures(sf_dir: str) -> str:
+    """documents as JSONL + CSV, derived from the parquet once."""
+    import csv
+    import json
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"tx_formats_{tag}")
+    stamp = os.path.join(root, "_STAMP")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "lang", "n_chars"])
+    want = f"v=1 n={t.num_rows}"
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rows = t.to_pylist()
+    with open(os.path.join(root, "docs.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(root, "docs.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "lang", "n_chars"])
+        w.writeheader()
+        w.writerows(rows)
+    with open(stamp, "w") as f:
+        f.write(want)
+    return root
+
+
+def q_multi_source_union_stats(sf_dir: str) -> ray.data.Dataset:
+    root = _format_fixtures(sf_dir)
+
+    def tagged(ds: ray.data.Dataset, kind: str) -> ray.data.Dataset:
+        def add(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "source_format": pa.array([kind] * b.num_rows,
+                                          pa.string()),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "chars": pa.compute.cast(b.column("n_chars"),
+                                         pa.int64()),
+            })
+
+        return ds.map_batches(add, **_PYA)
+
+    pq_ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    js_ds = ray.data.read_json(os.path.join(root, "docs.jsonl"))
+    cs_ds = ray.data.read_csv(os.path.join(root, "docs.csv"))
+    unioned = (tagged(pq_ds, "parquet")
+               .union(tagged(js_ds, "jsonl"))
+               .union(tagged(cs_ds, "csv")))
+    return (unioned.groupby("source_format")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("chars", alias_name="total_chars")))
+
+
+def queries_r3ad() -> dict:
+    return {
+        "make_training_set": q_make_training_set,
+        "multi_source_union_stats": q_multi_source_union_stats,
+    }
