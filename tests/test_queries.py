@@ -338,6 +338,9 @@ _ROWS_ONLY_SCHEMAS = {
     "make_training_set": ['n_docs', 'n_tokens', 'shard'],
     "multi_source_union_stats": ['n_docs', 'source_format',
                                  'total_chars'],
+    # round-3 batch AE
+    "events_value_band_join": ['diff', 'id_a', 'id_b'],
+    "incremental_neardup": ['new_id', 'old_id', 'sim'],
 }
 
 

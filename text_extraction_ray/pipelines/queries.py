@@ -759,6 +759,7 @@ def queries() -> dict:
     from .queries_r3ab import queries_r3ab
     from .queries_r3ac import queries_r3ac
     from .queries_r3ad import queries_r3ad
+    from .queries_r3ae import queries_r3ae
 
     base.update(queries_r3())
     base.update(queries_r3b())
@@ -790,6 +791,7 @@ def queries() -> dict:
     base.update(queries_r3ab())
     base.update(queries_r3ac())
     base.update(queries_r3ad())
+    base.update(queries_r3ae())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
