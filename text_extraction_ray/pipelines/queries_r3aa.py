@@ -172,12 +172,15 @@ def q_retrieval_hard_negatives(sf_dir: str) -> ray.data.Dataset:
     # deterministic query panel: lexicographically-first distinct
     # (anchor, dst_url) pairs — built from the SAME materialized
     # extraction (one extraction pass feeds pairs and scoring)
+    # per-anchor min dst_url, first HN_QUERIES anchors — all computed
+    # distributed (groupby → sort → limit); only the HN_QUERIES-row
+    # panel ever reaches the driver, never the full pair table
     qdf = (_pairs_from(out, sf_dir)
-           .to_pandas()[["anchor", "dst_url"]]
-           .sort_values(["anchor", "dst_url"])
-           .drop_duplicates("anchor")
-           .head(HN_QUERIES)
-           .reset_index(drop=True))
+           .groupby("anchor")
+           .aggregate(Min("dst_url", alias_name="dst_url"))
+           .sort("anchor")
+           .limit(HN_QUERIES)
+           .to_pandas())
     qm = np.stack([embed_text(a) for a in qdf.anchor])
     q_ref = ray.put((list(qdf.anchor), list(qdf.dst_url), qm))
 

@@ -17,8 +17,11 @@ near-dup against a persisted LSH index.
   copies, one-word edits, fresh docs) computes its own band rows and
   equi-joins the index on (band, bucket) — only matching buckets
   move, the index is never broadcast — then the bounded candidate
-  set verifies against true signature similarity ≥ 0.7.  New docs
-  never pay a pairwise pass against the old corpus.
+  set verifies against true signature similarity ≥ 0.7, with BOTH
+  sig lookups pruned to candidate ids (row-filtered parquet read on
+  the A side, candidate-only recompute on the B side) so driver
+  memory is O(candidates), never O(corpus).  New docs never pay a
+  pairwise pass against the old corpus.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -56,9 +60,8 @@ def q_events_value_band_join(sf_dir: str) -> ray.data.Dataset:
                ["event_id", "event_type", "value", "user_id"])
 
     def band_rows(b: pa.Table) -> pa.Table:
-        et = b.column("event_type").to_pylist()
-        keep = np.array([t in ("click", "purchase") for t in et])
-        b = b.filter(pa.array(keep))
+        b = b.filter(pc.is_in(b.column("event_type"),
+                              value_set=pa.array(["click", "purchase"])))
         v = b.column("value").to_numpy(zero_copy_only=False)
         band = np.floor(v / BAND_EPS).astype(np.int64)
         out = pa.concat_tables([b, b])
@@ -71,12 +74,15 @@ def q_events_value_band_join(sf_dir: str) -> ray.data.Dataset:
     banded = ev.map_batches(band_rows, **_PYA)
 
     def join_band(g: pa.Table) -> pa.Table:
-        et = np.array(g.column("event_type").to_pylist(), dtype=object)
+        # only click/purchase rows survive band_rows' filter, so
+        # not-click == purchase (one vectorized compare, no pylist)
+        is_click = pc.equal(g.column("event_type"),
+                            "click").to_numpy(zero_copy_only=False)
         ids = g.column("event_id").to_numpy(zero_copy_only=False)
         v = g.column("value").to_numpy(zero_copy_only=False)
         band = int(g.column("band")[0].as_py())
-        a = np.flatnonzero(et == "click")
-        b = np.flatnonzero(et == "purchase")
+        a = np.flatnonzero(is_click)
+        b = np.flatnonzero(~is_click)
         if not a.size or not b.size:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -172,7 +178,8 @@ def q_incremental_neardup(sf_dir: str) -> pa.Table:
     import logging
 
     root = _lsh_index_dir(sf_dir)
-    new_docs = ray.data.from_arrow(recrawl_docs(sf_dir))
+    nd = recrawl_docs(sf_dir)
+    new_docs = ray.data.from_arrow(nd)
     idx = ray.data.read_parquet(os.path.join(root, "bands"))
 
     def bands_only(b: pa.Table) -> pa.Table:
@@ -191,14 +198,24 @@ def q_incremental_neardup(sf_dir: str) -> pa.Table:
         logging.getLogger(__name__).warning(
             "incremental neardup candidates %d: verify stays "
             "distributed above this in production", len(pairs))
-    # verify: true signature similarity (signatures re-read bounded)
-    sigs_a = pq.read_table(os.path.join(root, "sigs"))
+    # verify: true signature similarity.  Both sig lookups are pruned
+    # to the CANDIDATE ids before anything reaches the driver — the
+    # old-corpus sig table is row-filtered at the parquet read and the
+    # new-crawl sigs are computed only for candidate docs, so driver
+    # memory is O(candidates), never O(corpus).
+    cand_old = pa.array(sorted(set(pairs["doc_id"].astype(int))),
+                        pa.int64())
+    cand_new = pa.array(sorted(set(pairs["new_id"].astype(int))),
+                        pa.int64())
+    sigs_a = pq.read_table(
+        os.path.join(root, "sigs"),
+        filters=[("doc_id", "in", cand_old)])
     sa = {d: np.frombuffer(s, dtype=np.uint64)
           for d, s in zip(sigs_a.column("doc_id").to_pylist(),
                           sigs_a.column("sig").to_pylist())}
-    nd = recrawl_docs(sf_dir)
-    new_sigs = minhash_sig_batch(nd.column("text").to_pylist())
-    sb = {d: s for d, s in zip(nd.column("doc_id").to_pylist(),
+    sub = nd.filter(pc.is_in(nd.column("doc_id"), value_set=cand_new))
+    new_sigs = minhash_sig_batch(sub.column("text").to_pylist())
+    sb = {d: s for d, s in zip(sub.column("doc_id").to_pylist(),
                                new_sigs)}
     out_new, out_old, out_sim = [], [], []
     for nid, oid in zip(pairs["new_id"], pairs["doc_id"]):
