@@ -1,0 +1,51 @@
+"""Round-3 continuation batch AF: noisy-image table extraction.
+
+``image_tables`` — the raster leg of the cell-grid family
+(PDF `core/pdf.py:494`, HTML `functions/html_tables.py`, and now
+images): a deterministic ruled-table image per document (5×7 bitmap
+font, ~1 % salt-and-pepper noise, real BMP/PNG/GIF containers) is
+decoded and read back by profile-based grid detection + sliding-window
+template matching (`functions/table_image.py`) in an actor-pool stage.
+Because the planted grid and digits are pure functions of ``doc_id``,
+the query carries a FULL DuckDB oracle — a from-scratch noisy-image OCR
+pipeline verified row/schema/value-hash against SQL.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ..functions.table_image import (TableImageExtractor,
+                                     synth_table_image_batch)
+
+_PYA = {"batch_format": "pyarrow"}
+
+
+def q_image_tables(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(synth_table_image_batch, **_PYA)
+            .map_batches(TableImageExtractor, concurrency=(1, 4),
+                         batch_size=64, **_PYA))
+
+
+SQL_IMAGE_TABLES = """
+SELECT d.doc_id,
+       r.range AS r,
+       c.range AS c,
+       CAST((d.doc_id * 7 + r.range * 3 + c.range) % 10 AS VARCHAR)
+         AS cell
+FROM documents d, range(0, 4) r, range(0, 4) c
+WHERE r.range < 2 + d.doc_id % 3
+  AND c.range < 2 + (d.doc_id // 3) % 3
+"""
+
+
+def queries_r3af() -> dict:
+    return {"image_tables": q_image_tables}
+
+
+def oracle_sql_r3af() -> dict:
+    return {"image_tables": SQL_IMAGE_TABLES}
