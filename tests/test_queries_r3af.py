@@ -29,6 +29,55 @@ def test_image_tables_match_duckdb(ray_session):
         assert len(got) > 0
 
 
+def test_image_tables_text_match_duckdb(ray_session):
+    """Multi-digit (string-reading) variant: same driver-shaped DuckDB
+    parity at two scales — the rows-only registry entry's pytest pin."""
+    from text_extraction_ray.pipelines.queries_r3af import (
+        SQL_IMAGE_TABLES_TEXT, q_image_tables_text)
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        got = (q_image_tables_text(sf).to_pandas()
+               .sort_values(["doc_id", "r", "c"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+        want = con.execute(
+            SQL_IMAGE_TABLES_TEXT + " ORDER BY doc_id, r, c").fetchdf()
+        assert got["cell"].tolist() == want["cell"].tolist()
+        assert len(got) > 0
+        # the point of the variant: most cells are multi-glyph
+        assert (got["cell"].str.len() > 1).mean() > 0.8
+
+
+def test_string_reader_handles_all_lengths():
+    """1-, 2- and 3-digit cells all read exactly (walk stops at the
+    number's true edges in both directions)."""
+    import pyarrow as pa
+
+    from text_extraction_ray.functions.table_image import (
+        TableStringExtractor, cell_value2, synth_table_image2_batch,
+        table_shape)
+
+    # doc ids chosen so the corpus of cells covers 1-3 digit values
+    ids = [0, 1, 2, 3, 14, 143, 1430, 7777]
+    lens = set()
+    ex = TableStringExtractor()
+    out = ex(synth_table_image2_batch(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})))
+    got = {(d, r, c): v for d, r, c, v in zip(
+        out.column("doc_id").to_pylist(), out.column("r").to_pylist(),
+        out.column("c").to_pylist(), out.column("cell").to_pylist())}
+    for d in ids:
+        R, C = table_shape(d)
+        for r in range(R):
+            for c in range(C):
+                want = str(cell_value2(d, r, c))
+                assert got[(d, r, c)] == want, (d, r, c)
+                lens.add(len(want))
+    assert lens == {1, 2, 3}
+
+
 def test_noise_is_real_and_survived():
     """The planted salt-and-pepper noise actually flips pixels (the
     'noisy' in noisy-image extraction is not vacuous), including some

