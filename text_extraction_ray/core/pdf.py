@@ -653,6 +653,34 @@ def _text_regions(runs: list[_Run]) -> list[_Region]:
     return regions
 
 
+_IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def pdf_images(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Embedded raster images, object order: (width, height, gray bytes).
+
+    Image XObjects are stream objects whose dict carries /Subtype /Image;
+    _parse_objects has already sliced the stream by /Length (indirect
+    lengths resolved) and inflated /FlateDecode — the scanned-document
+    half of the crawl PDF population (pdf_write.build_image_pdf emits
+    the closed-loop fixtures).  Only 8-bit /DeviceGray payloads are
+    meaningful to callers; anything else still returns raw bytes and the
+    caller's decoder routes it to its error column."""
+    out: list[tuple[int, int, bytes]] = []
+    objects = _parse_objects(payload)
+    for num in sorted(objects):
+        header, data = objects[num]
+        if (b"/Subtype" not in header or b"/Image" not in header
+                or data is None):
+            continue
+        wm = _IMG_WIDTH_RE.search(header)
+        hm = _IMG_HEIGHT_RE.search(header)
+        if wm and hm:
+            out.append((int(wm.group(1)), int(hm.group(1)), data))
+    return out
+
+
 def pdf_tables(payload: bytes) -> list[str]:
     """Structured variant of the cell-grid path: ONLY the detected table
     regions, one grid string per table (cells \\t, rows \\n), page order

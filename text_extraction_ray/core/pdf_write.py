@@ -214,6 +214,11 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False,
     else:
         raise ValueError(f"unknown encoding_style {encoding_style!r}")
 
+    return _assemble_pdf(objects)
+
+
+def _assemble_pdf(objects: list[bytes]) -> bytes:
+    """Serialize 1-indexed object bodies + xref table + trailer."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -230,3 +235,38 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False,
         "%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def build_image_pdf(images: list[tuple[int, int, bytes]]) -> bytes:
+    """A 'scanned' PDF: one page per (w, h, grayscale raster), each an
+    /XObject /Image (8-bit /DeviceGray, /FlateDecode) drawn full-page —
+    the shape of a real scanned-document crawl PDF, closing the loop for
+    the scanned-table OCR pipeline (functions/table_image.py reads the
+    tables back out of the extracted images)."""
+    objects: list[bytes] = []
+    n_pages = len(images)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")          # 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, (w, h, gray) in enumerate(images):
+        page_num = 3 + 3 * i
+        content_num, image_num = page_num + 1, page_num + 2
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R "
+             f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+             f"/Contents {content_num} 0 R "
+             f"/Resources << /XObject << /Im1 {image_num} 0 R >> >> >>"
+             ).encode())
+        content = (f"q {PAGE_W} 0 0 {PAGE_H} 0 0 cm /Im1 Do Q"
+                   ).encode()
+        objects.append(
+            f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream")
+        data = zlib.compress(gray, 6)
+        objects.append(
+            (f"<< /Type /XObject /Subtype /Image /Width {w} "
+             f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+             f"/Length {len(data)} /Filter /FlateDecode >>").encode()
+            + b"\nstream\n" + data + b"\nendstream")
+    return _assemble_pdf(objects)

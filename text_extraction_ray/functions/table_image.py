@@ -274,6 +274,9 @@ class TableImageExtractor:
         3. Snap to the implied uniform grid (_regular_grid), recovering
            any interior ruling the noise happened to weaken."""
         w, h, gray = _decode_any(media_type, payload)
+        return self._grid_raw(w, h, gray)
+
+    def _grid_raw(self, w: int, h: int, gray: bytes):
         img = np.frombuffer(gray, dtype=np.uint8)[:w * h].reshape(h, w)
         dark = img < 128
         rcand = _ruling_lines(dark.mean(axis=1))

@@ -793,8 +793,10 @@ def queries() -> dict:
     base.update(queries_r3ad())
     base.update(queries_r3ae())
     from .queries_r3af import queries_r3af
+    from .queries_r3ag import queries_r3ag
 
     base.update(queries_r3af())
+    base.update(queries_r3ag())
     sql = oracle_sql()
     ordered = {k: v for k, v in base.items() if k in sql}
     # rows-only queries ranked: extraction-surface pipelines whose driver
@@ -811,6 +813,7 @@ def queries() -> dict:
     # drops the most redundant checks last-to-first.  neardup_clusters
     # moved to the ORACLED group in round 3 (recursive-CTE oracle).
     priority = ["extract_pages", "pdf_tables", "image_tables_text",
+                "scanned_pdf_tables",
                 "explain_blocks",
                 "html_tables", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
