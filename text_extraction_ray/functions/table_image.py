@@ -338,13 +338,6 @@ class TableStringExtractor(TableImageExtractor):
     _CHAR_ACCEPT = 5
 
     def _read_string(self, cell: np.ndarray) -> str:
-        """Anchor at the globally best template hit, then walk LEFT and
-        RIGHT at the fixed glyph pitch (±1-pixel jitter per probe):
-        digits are contiguous, background slots measure ≥10 mismatches
-        (font margin), so the walk stops exactly at the number's edges.
-        No ink-span detection anywhere — a noise speck outside the
-        glyphs cannot shift an anchor the way it shifted the earlier
-        span-based segmentation."""
         ch, cw = cell.shape
         if ch < GLYPH_H or cw < GLYPH_W:
             return ""
@@ -352,7 +345,18 @@ class TableStringExtractor(TableImageExtractor):
             cell, (GLYPH_H, GLYPH_W))             # (ph, pw, 7, 5)
         diff = (sw[:, :, None, :, :]
                 != self._font[None, None, :, :, :])
-        dist = diff.sum(axis=(3, 4))              # (ph, pw, 10)
+        return self._read_string_from(diff.sum(axis=(3, 4)))
+
+    def _read_string_from(self, dist: np.ndarray) -> str:
+        """Anchor at the globally best template hit, then walk LEFT and
+        RIGHT at the fixed glyph pitch (±1-pixel jitter per probe):
+        digits are contiguous, background slots measure ≥10 mismatches
+        (font margin), so the walk stops exactly at the number's edges.
+        No ink-span detection anywhere — a noise speck outside the
+        glyphs cannot shift an anchor the way it shifted the earlier
+        span-based segmentation.  ``dist`` is the (ph, pw, 10) Hamming
+        tensor — batched per shape group in __call__ so the expensive
+        window compare runs as ONE tensor op per group."""
         dmin = dist.min(axis=2)
         ph, pw = dmin.shape
         y0, x0 = np.unravel_index(int(np.argmin(dmin)), dmin.shape)
@@ -391,20 +395,39 @@ class TableStringExtractor(TableImageExtractor):
         ids = batch.column("doc_id").to_pylist()
         media = batch.column("media").to_pylist()
         mtypes = batch.column("media_type").to_pylist()
-        o_id, o_r, o_c, o_cell = [], [], [], []
+        o_id, o_r, o_c = [], [], []
+        groups: dict[tuple[int, int], list[np.ndarray]] = {}
+        order: list[tuple[tuple[int, int], int]] = []
         for i, m, mt in zip(ids, media, mtypes):
             dark, ys, xs = self._grid(mt, m)
             for r in range(len(ys) - 1):
                 for c in range(len(xs) - 1):
                     cell = dark[ys[r] + 1:ys[r + 1],
                                 xs[c] + 1:xs[c + 1]]
+                    lst = groups.setdefault(cell.shape, [])
+                    order.append((cell.shape, len(lst)))
+                    lst.append(cell)
                     o_id.append(i)
                     o_r.append(r)
                     o_c.append(c)
-                    o_cell.append(self._read_string(cell))
+        read: dict[tuple[int, int], list[str]] = {}
+        for shape, lst in groups.items():
+            ch, cw = shape
+            if ch < GLYPH_H or cw < GLYPH_W:
+                read[shape] = [""] * len(lst)
+                continue
+            stack = np.stack(lst)
+            win = np.lib.stride_tricks.sliding_window_view(
+                stack, (GLYPH_H, GLYPH_W), axis=(1, 2))
+            diff = (win[:, :, :, None, :, :]
+                    != self._font[None, None, None, :, :, :])
+            dist = diff.sum(axis=(4, 5))          # (n, ph, pw, 10)
+            read[shape] = [self._read_string_from(dist[j])
+                           for j in range(len(lst))]
         return pa.table({
             "doc_id": pa.array(o_id, type=pa.int64()),
             "r": pa.array(o_r, type=pa.int64()),
             "c": pa.array(o_c, type=pa.int64()),
-            "cell": pa.array(o_cell, type=pa.string()),
+            "cell": pa.array([read[s][j] for s, j in order],
+                             type=pa.string()),
         })
