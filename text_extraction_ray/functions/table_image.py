@@ -240,7 +240,47 @@ class TableImageExtractor:
 
     def __init__(self, match_max_dist: int = 12) -> None:
         self._font = font_tensor()           # once per actor
+        # each 7×5 template packed into 35 bits (pos = y*5 + x) —
+        # window matching is then XOR + popcount on uint64 lattices
+        # instead of a 6-D bool-tensor reduction (the former hot spot)
+        masks = np.zeros(10, dtype=np.uint64)
+        for d in range(10):
+            for y in range(GLYPH_H):
+                for x in range(GLYPH_W):
+                    if self._font[d, y, x]:
+                        masks[d] |= np.uint64(1 << (y * GLYPH_W + x))
+        self._font_masks = masks
         self._max_dist = match_max_dist
+
+    @staticmethod
+    def _pack_windows(stack: np.ndarray) -> np.ndarray:
+        """(n, ch, cw) bool → (n, ph, pw) uint64: every 7×5 window's
+        pixels packed into one word (35 shifted ORs, all vectorized)."""
+        n, ch, cw = stack.shape
+        ph, pw = ch - GLYPH_H + 1, cw - GLYPH_W + 1
+        bits = np.zeros((n, ph, pw), dtype=np.uint64)
+        for dy in range(GLYPH_H):
+            for dx in range(GLYPH_W):
+                bits |= (stack[:, dy:dy + ph, dx:dx + pw]
+                         .astype(np.uint64)
+                         << np.uint64(dy * GLYPH_W + dx))
+        return bits
+
+    @staticmethod
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        """SWAR popcount (numpy 1.x has no bitwise_count)."""
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.uint8)
+
+    def _dist_tensor(self, stack: np.ndarray) -> np.ndarray:
+        """(n, ch, cw) bool cells → (n, ph, pw, 10) Hamming distances."""
+        bits = self._pack_windows(stack)
+        return self._popcount64(
+            bits[:, :, :, None] ^ self._font_masks[None, None, None, :])
 
     def _read_cells(self, cells: np.ndarray) -> list[str]:
         """Best 5×7 template over every placement, for a whole
@@ -249,11 +289,7 @@ class TableImageExtractor:
         n, ch, cw = cells.shape
         if ch < GLYPH_H or cw < GLYPH_W:
             return [""] * n
-        win = np.lib.stride_tricks.sliding_window_view(
-            cells, (GLYPH_H, GLYPH_W), axis=(1, 2))  # (n, ph, pw, 7, 5)
-        diff = (win[:, :, :, None, :, :]
-                != self._font[None, None, None, :, :, :])
-        dist = diff.sum(axis=(4, 5)).reshape(n, -1)  # (n, ph*pw*10)
+        dist = self._dist_tensor(cells).reshape(n, -1)  # (n, ph*pw*10)
         flat = np.argmin(dist, axis=1)
         best = dist[np.arange(n), flat]
         digit = flat % 10
@@ -341,11 +377,7 @@ class TableStringExtractor(TableImageExtractor):
         ch, cw = cell.shape
         if ch < GLYPH_H or cw < GLYPH_W:
             return ""
-        sw = np.lib.stride_tricks.sliding_window_view(
-            cell, (GLYPH_H, GLYPH_W))             # (ph, pw, 7, 5)
-        diff = (sw[:, :, None, :, :]
-                != self._font[None, None, :, :, :])
-        return self._read_string_from(diff.sum(axis=(3, 4)))
+        return self._read_string_from(self._dist_tensor(cell[None])[0])
 
     def _read_string_from(self, dist: np.ndarray) -> str:
         """Anchor at the globally best template hit, then walk LEFT and
@@ -416,12 +448,7 @@ class TableStringExtractor(TableImageExtractor):
             if ch < GLYPH_H or cw < GLYPH_W:
                 read[shape] = [""] * len(lst)
                 continue
-            stack = np.stack(lst)
-            win = np.lib.stride_tricks.sliding_window_view(
-                stack, (GLYPH_H, GLYPH_W), axis=(1, 2))
-            diff = (win[:, :, :, None, :, :]
-                    != self._font[None, None, None, :, :, :])
-            dist = diff.sum(axis=(4, 5))          # (n, ph, pw, 10)
+            dist = self._dist_tensor(np.stack(lst))  # (n, ph, pw, 10)
             read[shape] = [self._read_string_from(dist[j])
                            for j in range(len(lst))]
         return pa.table({
