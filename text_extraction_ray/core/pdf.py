@@ -657,7 +657,48 @@ _IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
 _IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 
 
-def pdf_images(payload: bytes) -> list[tuple[int, int, bytes]]:
+_SCAN_READER = None
+
+
+def _scanned_grids(payload: bytes,
+                   objects: dict | None = None) -> list[str]:
+    """Table grids read out of embedded scanned images (cells \\t, rows
+    \\n — the same shape as the vector-ruling grids), object order.
+
+    The cell-grid OCR reader (functions/table_image.py) is built once
+    per process and cached — actor-resident state, same discipline as
+    the LSH plane cache.  Images that aren't tables (no detectable
+    ruling grid) contribute nothing; a failing read never breaks the
+    document (extract_document totality, M11)."""
+    global _SCAN_READER
+    imgs = pdf_images(payload, objects)
+    if not imgs:
+        return []
+    if _SCAN_READER is None:
+        from ..functions.table_image import TableImageExtractor
+
+        _SCAN_READER = TableImageExtractor()
+    grids: list[str] = []
+    for w, h, gray in imgs:
+        if w <= 0 or h <= 0 or len(gray) < w * h:
+            continue
+        try:
+            cells = _SCAN_READER.read_table_cells(w, h, gray)
+        except Exception:
+            continue
+        if not cells:
+            continue
+        by_r: dict[int, dict[int, str]] = {}
+        for r, c, v in cells:
+            by_r.setdefault(r, {})[c] = v
+        grids.append("\n".join(
+            "\t".join(row[c] for c in sorted(row))
+            for _, row in sorted(by_r.items())))
+    return grids
+
+
+def pdf_images(payload: bytes,
+               objects: dict | None = None) -> list[tuple[int, int, bytes]]:
     """Embedded raster images, object order: (width, height, gray bytes).
 
     Image XObjects are stream objects whose dict carries /Subtype /Image;
@@ -668,7 +709,8 @@ def pdf_images(payload: bytes) -> list[tuple[int, int, bytes]]:
     meaningful to callers; anything else still returns raw bytes and the
     caller's decoder routes it to its error column."""
     out: list[tuple[int, int, bytes]] = []
-    objects = _parse_objects(payload)
+    if objects is None:
+        objects = _parse_objects(payload)
     for num in sorted(objects):
         header, data = objects[num]
         if (b"/Subtype" not in header or b"/Image" not in header
@@ -694,6 +736,9 @@ def pdf_tables(payload: bytes) -> list[str]:
         tables, _ = _detect_tables(rects, runs)
         tables.sort(key=lambda g: (-g.top, g.left))
         grids.extend(t.text for t in tables if t.text)
+    # scanned pages: tables read out of embedded images join the same
+    # surface (corpus v=4 "scanned-document PDFs")
+    grids.extend(_scanned_grids(payload, objects))
     return grids
 
 
@@ -719,6 +764,13 @@ def extract_pdf(payload: bytes) -> dict:
         n_regions += len(parts)
         if parts:
             page_texts.append(JOINER.join(parts))
+    # scanned pages (corpus v=4): embedded table images OCR'd by the
+    # cell-grid reader contribute their grids as additional page texts
+    # — a scanned-document PDF (no text runs at all) extracts REAL text
+    # instead of coming back empty, echoing the reference's core loop
+    scan_grids = _scanned_grids(payload, objects)
+    page_texts.extend(scan_grids)
+    n_regions += len(scan_grids)
     text = JOINER.join(page_texts)
     spans: list[tuple[int, int]] = []
     pos = 0

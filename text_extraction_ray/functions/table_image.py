@@ -296,6 +296,26 @@ class TableImageExtractor:
         return ["" if best[i] > self._max_dist else str(int(digit[i]))
                 for i in range(n)]
 
+    def read_table_cells(self, w: int, h: int, gray: bytes
+                         ) -> list[tuple[int, int, str]]:
+        """One raw grayscale raster → [(row, col, cell_text)] — the
+        single-image entry point used by the scanned-PDF route in
+        ``core/pdf.py:extract_pdf`` (and anything else holding decoded
+        pixels rather than a media container)."""
+        dark, ys, xs = self._grid_raw(w, h, gray)
+        coords, groups, order = [], {}, []
+        for r in range(len(ys) - 1):
+            for c in range(len(xs) - 1):
+                cell = dark[ys[r] + 1:ys[r + 1], xs[c] + 1:xs[c + 1]]
+                lst = groups.setdefault(cell.shape, [])
+                order.append((cell.shape, len(lst)))
+                lst.append(cell)
+                coords.append((r, c))
+        read = {s: self._read_cells(np.stack(lst))
+                for s, lst in groups.items()}
+        return [(r, c, read[s][j])
+                for (r, c), (s, j) in zip(coords, order)]
+
     def _grid(self, media_type: str, payload: bytes):
         """Three-step noise-robust grid detection.
 
