@@ -62,13 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 49 of 159 registered queries (round 3
+    names as the Ray results) — 49 of 160 registered queries (round 3
     added a recursive-CTE oracle for neardup_clusters and batch AF a
     fully-oracled noisy-image OCR query; the driver's 50-row window is
     fully allocated: 49 oracled + extract_pages, so queries() orders
     oracled entries FIRST and a driver-side cap can only truncate
     rows-only checks — pdf_tables moved to row 51, still benched and
-    pytest-pinned).  Of the 110
+    pytest-pinned).  Of the 111
     rows-only queries, the SQL-expressible ones carry the SAME
     DuckDB-parity check in pytest (tests/test_queries_r3*.py — one
     parity_sql_r3x() table per batch); the rest are approximate or

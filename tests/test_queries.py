@@ -199,6 +199,7 @@ def test_events_asof_matches_bruteforce(registry):
 _ROWS_ONLY_SCHEMAS = {
     "image_tables_text": ['c', 'cell', 'doc_id', 'r'],
     "scanned_pdf_tables": ['c', 'cell', 'doc_id', 'page', 'r'],
+    "image_tables_skewed": ['c', 'cell', 'doc_id', 'r'],
     "extract_pages": ['doc_type', 'lang', 'n_blocks_dropped',
                       'n_blocks_kept', 'parse_ok', 'url'],
     "explain_blocks": ['block_id', 'cls', 'link_density', 'n_chars',

@@ -78,6 +78,54 @@ def test_string_reader_handles_all_lengths():
     assert lens == {1, 2, 3}
 
 
+def test_image_tables_skewed_match_duckdb(ray_session):
+    """Skewed scans (planted ±4-px row shear) still extract exactly:
+    the deskewing extractor's output equals the same DuckDB spec the
+    unskewed query matches."""
+    from text_extraction_ray.pipelines.queries_r3af import (
+        SQL_IMAGE_TABLES, q_image_tables_skewed)
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        got = (q_image_tables_skewed(sf).to_pandas()
+               .sort_values(["doc_id", "r", "c"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+        want = con.execute(
+            SQL_IMAGE_TABLES + " ORDER BY doc_id, r, c").fetchdf()
+        assert got["cell"].tolist() == want["cell"].tolist()
+        assert len(got) > 0
+
+
+def test_deskew_estimates_the_planted_shear():
+    """The shear estimator recovers the exact planted value for every
+    shear in the ±MAX_SHEAR range (not just 'reads ok by luck')."""
+    from text_extraction_ray.functions.table_image import (
+        MAX_SHEAR, DeskewingTableExtractor, scan_shear,
+        synth_table_image_skewed_batch)
+
+    ex = DeskewingTableExtractor()
+    seen = set()
+    did = 0
+    while len(seen) < 2 * MAX_SHEAR + 1:
+        s = scan_shear(did)
+        if s not in seen:
+            ex(_skewed_batch(did))
+            assert ex.last_shear == s, (did, s, ex.last_shear)
+            seen.add(s)
+        did += 1
+    assert seen == set(range(-MAX_SHEAR, MAX_SHEAR + 1))
+
+
+def _skewed_batch(doc_id: int) -> pa.Table:
+    from text_extraction_ray.functions.table_image import \
+        synth_table_image_skewed_batch
+
+    return synth_table_image_skewed_batch(
+        pa.table({"doc_id": pa.array([doc_id], pa.int64())}))
+
+
 def test_noise_is_real_and_survived():
     """The planted salt-and-pepper noise actually flips pixels (the
     'noisy' in noisy-image extraction is not vacuous), including some

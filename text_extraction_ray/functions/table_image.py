@@ -230,6 +230,61 @@ def synth_table_image2_batch(batch: pa.Table,
     })
 
 
+# --- skewed-scan variant: deskew before grid detection ----------------------
+
+MAX_SHEAR = 4                    # |total horizontal shear| in pixels
+
+
+def scan_shear(doc_id: int) -> int:
+    """Planted shear in [-MAX_SHEAR, +MAX_SHEAR], pure fn of doc_id."""
+    return (doc_id * 31 + 7) % (2 * MAX_SHEAR + 1) - MAX_SHEAR
+
+
+def render_table_image_skewed(doc_id: int) -> tuple[int, int, bytes]:
+    """The single-digit table image run through an integer ROW SHEAR
+    (row y shifts right by round(s*y/h) px, s = scan_shear(doc_id)) —
+    the crooked-flatbed-scan defect, exactly invertible so the oracle
+    stays deterministic.  Width grows by |s| to hold the shifted rows."""
+    w, h, gray = render_table_image(doc_id)
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+    s = scan_shear(doc_id)
+    out = np.full((h, w + abs(s)), 255, dtype=np.uint8)
+    base = abs(s) if s < 0 else 0
+    for y in range(h):
+        off = base + round(s * y / (h - 1))
+        out[y, off:off + w] = img[y]
+    return out.shape[1], h, out.tobytes()
+
+
+def _unshear(dark: np.ndarray, s: int) -> np.ndarray:
+    """Invert the render-side row shear for candidate s: row y shifts
+    LEFT by the same offset render_table_image_skewed shifted it right;
+    the vacated right margin pads light."""
+    h, w = dark.shape
+    out = np.zeros_like(dark)
+    base = abs(s) if s < 0 else 0
+    for y in range(h):
+        off = base + round(s * y / (h - 1)) if h > 1 else 0
+        out[y, :w - off] = dark[y, off:]
+    return out
+
+
+def synth_table_image_skewed_batch(batch: pa.Table,
+                                   id_col: str = "doc_id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    media, mtype = [], []
+    for i in ids:
+        w, h, gray = render_table_image_skewed(i)
+        mt = (BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, GIF_MEDIA_TYPE)[i % 3]
+        media.append(_encode_any(mt, w, h, gray))
+        mtype.append(mt)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(media, type=pa.binary()),
+        "media_type": pa.array(mtype, type=pa.string()),
+    })
+
+
 class TableImageExtractor:
     """Actor-pool stage: (doc_id, media, media_type) → one row per
     detected cell (doc_id, r, c, cell).  Used with::
@@ -334,7 +389,9 @@ class TableImageExtractor:
 
     def _grid_raw(self, w: int, h: int, gray: bytes):
         img = np.frombuffer(gray, dtype=np.uint8)[:w * h].reshape(h, w)
-        dark = img < 128
+        return self._grid_from_dark(img < 128)
+
+    def _grid_from_dark(self, dark: np.ndarray):
         rcand = _ruling_lines(dark.mean(axis=1))
         ccand = _ruling_lines(dark.mean(axis=0))
         if len(rcand) < 2 or len(ccand) < 2:
@@ -478,3 +535,27 @@ class TableStringExtractor(TableImageExtractor):
             "cell": pa.array([read[s][j] for s, j in order],
                              type=pa.string()),
         })
+
+
+class DeskewingTableExtractor(TableImageExtractor):
+    """Skew-tolerant variant: before grid detection, estimate the scan's
+    horizontal shear by trying every candidate in ±MAX_SHEAR and keeping
+    the one whose UNSHEARED image has the sharpest vertical-ruling peak
+    (a truly vertical 1-px ruling concentrates its full extent in one
+    column ≈0.85 mean; off by one shear it spreads over several columns
+    ≈0.4).  Candidates are visited in |s| order and only a strictly
+    better score switches, so the smallest consistent shear wins ties.
+    2·MAX_SHEAR+1 cheap profile passes — no rotation resampling, exact
+    inversion, deterministic."""
+
+    def _grid_raw(self, w: int, h: int, gray: bytes):
+        img = np.frombuffer(gray, dtype=np.uint8)[:w * h].reshape(h, w)
+        dark = img < 128
+        best_s, best_score, best_dark = 0, -1.0, dark
+        for s in sorted(range(-MAX_SHEAR, MAX_SHEAR + 1), key=abs):
+            un = _unshear(dark, s) if s else dark
+            score = float(un.mean(axis=0).max())
+            if score > best_score + 1e-9:
+                best_s, best_score, best_dark = s, score, un
+        self.last_shear = best_s          # introspection for tests
+        return self._grid_from_dark(best_dark)

@@ -813,7 +813,7 @@ def queries() -> dict:
     # drops the most redundant checks last-to-first.  neardup_clusters
     # moved to the ORACLED group in round 3 (recursive-CTE oracle).
     priority = ["extract_pages", "pdf_tables", "image_tables_text",
-                "scanned_pdf_tables",
+                "scanned_pdf_tables", "image_tables_skewed",
                 "explain_blocks",
                 "html_tables", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",

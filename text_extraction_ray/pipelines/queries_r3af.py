@@ -61,6 +61,23 @@ WHERE r.range < 2 + d.doc_id % 3
 """
 
 
+def q_image_tables_skewed(sf_dir: str) -> ray.data.Dataset:
+    """Skewed-scan variant: every image carries a planted ±4-px row
+    shear (the crooked-flatbed defect); DeskewingTableExtractor
+    estimates the shear from ruling-profile sharpness and inverts it
+    before grid detection.  Rows-only; parity twin = SQL_IMAGE_TABLES
+    (the planted content is identical — only the geometry differs),
+    pinned in tests/test_queries_r3af.py."""
+    from ..functions.table_image import (DeskewingTableExtractor,
+                                         synth_table_image_skewed_batch)
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(synth_table_image_skewed_batch, **_PYA)
+            .map_batches(DeskewingTableExtractor, concurrency=(1, 4),
+                         batch_size=64, **_PYA))
+
+
 SQL_IMAGE_TABLES_TEXT = """
 SELECT d.doc_id,
        r.range AS r,
@@ -75,7 +92,8 @@ WHERE r.range < 2 + d.doc_id % 3
 
 def queries_r3af() -> dict:
     return {"image_tables": q_image_tables,
-            "image_tables_text": q_image_tables_text}
+            "image_tables_text": q_image_tables_text,
+            "image_tables_skewed": q_image_tables_skewed}
 
 
 def oracle_sql_r3af() -> dict:
