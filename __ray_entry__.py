@@ -62,21 +62,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 49 of 160 registered queries (round 3
-    added a recursive-CTE oracle for neardup_clusters and batch AF a
-    fully-oracled noisy-image OCR query; the driver's 50-row window is
-    fully allocated: 49 oracled + extract_pages, so queries() orders
-    oracled entries FIRST and a driver-side cap can only truncate
-    rows-only checks — pdf_tables moved to row 51, still benched and
-    pytest-pinned).  Of the 111
-    rows-only queries, the SQL-expressible ones carry the SAME
-    DuckDB-parity check in pytest (tests/test_queries_r3*.py — one
-    parity_sql_r3x() table per batch); the rest are approximate or
-    inherently non-SQL by nature: minhash/simhash (seeded permutation
-    hashes), FNV fingerprint, ann_lsh/ann_ivf/ann_pq (approximate by
-    construction), sketches, seeded samples, k-means (iterative),
-    multimodal decode/resize/frame-sample/audio/dHash, and the
-    extraction pipelines over the synthetic pages corpus."""
+    names as the Ray results) — 107 of 163 registered queries.  The
+    driver's 50-row window is pinned byte-identical to the recorded
+    rounds (49 core-oracled + extract_pages, the flagship extraction
+    smoke); the 58 batch-parity oracles (tests/test_queries_r3*.py each
+    pin the identical columns/rows/multiset comparison at sf0.01) sit at
+    positions 51-108, so a driver-side cap can only truncate queries
+    that already carry the same check in pytest, and if the cap ever
+    grows they upgrade straight to recorded rows+schema+hash rows.
+    The 55 remaining rows-only queries are approximate or inherently
+    non-SQL by nature: minhash/simhash (seeded permutation hashes), FNV
+    fingerprint, ann_lsh/ann_ivf/ann_pq (approximate by construction),
+    sketches, seeded samples, k-means (iterative), multimodal
+    decode/resize/frame-sample/audio/dHash, and the extraction pipelines
+    over the synthetic pages corpus (pdf_tables heads that tail right
+    after the oracled block, benched + pytest-pinned)."""
     from text_extraction_ray.pipelines.queries import oracle_sql as _o
 
     return _o()

@@ -54,18 +54,24 @@ def test_r3_query_matches_duckdb(ray_session, name):
 
 
 def test_r3_registered_rows_only(ray_session):
-    """The new queries must be registered, rows-only, and must not push
-    extract_pages/pdf_tables out of the driver's 50-row window."""
+    """The new queries must be registered (the parity trio as driver-facing
+    oracles since the round-3 merge) and must not push extract_pages out of
+    the driver's 50-row window."""
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
+    from text_extraction_ray.pipelines.queries_r3 import (parity_sql_r3,
+                                                          queries_r3)
 
     qs, osql = queries(), oracle_sql()
     names = list(qs)
-    for n in ("docs_dedup_apply", "orders_rank", "lang_doc_csv"):
-        assert n in qs and n not in osql
+    par = set(parity_sql_r3())
+    for n in queries_r3():
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in names[:50]
-    # batch AF filled the 50th slot with the oracled image_tables;
-    # pdf_tables sits just past the driver window, still pytest-pinned
-    assert "pdf_tables" in names[:52]
+    # pdf_tables leads the rows-only tail right after the 55 batch-parity
+    # oracles; its grid semantics live in binary PDFs no SQL engine can
+    # parse, so it stays benched + pytest-pinned
+    assert names[len(osql) + 1] == "pdf_tables"
 
 
 def test_dedup_apply_drops_exactly_the_non_heads(ray_session):

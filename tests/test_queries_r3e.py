@@ -58,16 +58,19 @@ def test_r3e_query_matches_duckdb(ray_session, name):
 
 def test_r3e_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3e import queries_r3e
+    from text_extraction_ray.pipelines.queries_r3e import (parity_sql_r3e,
+        queries_r3e)
 
     qs, osql = queries(), oracle_sql()
     names = list(qs)
+    par = set(parity_sql_r3e())
     for n in queries_r3e():
-        assert n in qs and n not in osql, n
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in names[:50]
-    # batch AF filled the 50th slot with the oracled image_tables;
-    # pdf_tables sits just past the driver window, still pytest-pinned
-    assert "pdf_tables" in names[:52]
+    # pdf_tables heads the rows-only tail, right after the oracled
+    # block (50-row driver window + 55 batch-parity oracles)
+    assert names[len(osql) + 1] == "pdf_tables"
 
 
 def test_unpivot_inverts_pivot(ray_session):

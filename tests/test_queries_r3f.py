@@ -63,16 +63,19 @@ def test_r3f_query_matches_duckdb(ray_session, name):
 
 def test_r3f_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3f import queries_r3f
+    from text_extraction_ray.pipelines.queries_r3f import (parity_sql_r3f,
+        queries_r3f)
 
     qs, osql = queries(), oracle_sql()
     names = list(qs)
+    par = set(parity_sql_r3f())
     for n in queries_r3f():
-        assert n in qs and n not in osql, n
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in names[:50]
-    # batch AF filled the 50th slot with the oracled image_tables;
-    # pdf_tables sits just past the driver window, still pytest-pinned
-    assert "pdf_tables" in names[:52]
+    # pdf_tables heads the rows-only tail, right after the oracled
+    # block (50-row driver window + 55 batch-parity oracles)
+    assert names[len(osql) + 1] == "pdf_tables"
 
 
 def test_levenshtein_pairs_vs_duckdb():

@@ -62,16 +62,19 @@ def test_r3i_query_matches_duckdb(ray_session, name):
 
 def test_r3i_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3i import queries_r3i
+    from text_extraction_ray.pipelines.queries_r3i import (parity_sql_r3i,
+        queries_r3i)
 
     qs, osql = queries(), oracle_sql()
     names = list(qs)
+    par = set(parity_sql_r3i())
     for n in queries_r3i():
-        assert n in qs and n not in osql, n
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in names[:50]
-    # batch AF filled the 50th slot with the oracled image_tables;
-    # pdf_tables sits just past the driver window, still pytest-pinned
-    assert "pdf_tables" in names[:52]
+    # pdf_tables heads the rows-only tail, right after the oracled
+    # block (50-row driver window + 55 batch-parity oracles)
+    assert names[len(osql) + 1] == "pdf_tables"
 
 
 def test_left_outer_exercises_unmatched(ray_session):

@@ -66,16 +66,19 @@ def test_r3j_query_matches_duckdb(ray_session, name):
 
 def test_r3j_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3j import queries_r3j
+    from text_extraction_ray.pipelines.queries_r3j import (parity_sql_r3j,
+        queries_r3j)
 
     qs, osql = queries(), oracle_sql()
     names = list(qs)
+    par = set(parity_sql_r3j())
     for n in queries_r3j():
-        assert n in qs and n not in osql, n
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in names[:50]
-    # batch AF filled the 50th slot with the oracled image_tables;
-    # pdf_tables sits just past the driver window, still pytest-pinned
-    assert "pdf_tables" in names[:52]
+    # pdf_tables heads the rows-only tail, right after the oracled
+    # block (50-row driver window + 55 batch-parity oracles)
+    assert names[len(osql) + 1] == "pdf_tables"
 
 
 def test_skew_join_hot_path_equals_plain_join(ray_session):

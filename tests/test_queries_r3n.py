@@ -59,11 +59,14 @@ def test_events_dedup_hourly_matches_duckdb(ray_session):
 
 def test_r3n_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3n import queries_r3n
+    from text_extraction_ray.pipelines.queries_r3n import (parity_sql_r3n,
+        queries_r3n)
 
     qs, osql = queries(), oracle_sql()
+    par = set(parity_sql_r3n())
     for n in queries_r3n():
-        assert n in qs and n not in osql, n
+        assert n in qs, n
+        assert (n in osql) == (n in par), n
     assert "extract_pages" in list(qs)[:50]
 
 

@@ -158,12 +158,16 @@ def test_pack_blocks_invariants(ray_session):
 
 def test_r3p_registered_rows_only(ray_session):
     from text_extraction_ray.pipelines.queries import oracle_sql, queries
-    from text_extraction_ray.pipelines.queries_r3p import queries_r3p
+    from text_extraction_ray.pipelines.queries_r3p import (parity_sql_r3p,
+                                                           queries_r3p)
 
     qs, osql = queries(), oracle_sql()
+    par = set(parity_sql_r3p())
     for name in queries_r3p():
         assert name in qs
-        assert name not in osql  # driver window stays allocated
+        # oracles since the round-3 parity merge; the pinned 50-row
+        # driver window is unchanged (they sit at positions 51-105)
+        assert (name in osql) == (name in par), name
 
 
 def test_dup_ngrams_broadcast_path_has_no_doc_shuffle(ray_session):

@@ -794,11 +794,26 @@ def queries() -> dict:
     base.update(queries_r3ae())
     from .queries_r3af import queries_r3af
     from .queries_r3ag import queries_r3ag
+    from .queries_r3ah import queries_r3ah
 
     base.update(queries_r3af())
     base.update(queries_r3ag())
+    base.update(queries_r3ah())
     sql = oracle_sql()
-    ordered = {k: v for k, v in base.items() if k in sql}
+    parity = parity_oracle_names()
+    # Driver-window block (first 50), byte-identical to rounds 1-3's
+    # recorded layout: the 49 core-oracled queries in registration order,
+    # then extract_pages (the flagship extraction pipeline, whose rows-only
+    # driver row is its only external record).  The 58 batch-parity queries
+    # gained driver-facing SQL twins in round 3 (merged below) but sit just
+    # past the window so the recorded 50 rows never change shape; if the
+    # driver's cap ever grows, they upgrade from "no row" straight to the
+    # strong rows+schema+hash check, already pinned by each batch's own
+    # pytest parity harness at sf0.01.
+    core = [k for k in base if k in sql and k not in parity]
+    ordered = {k: base[k] for k in core}
+    ordered["extract_pages"] = base["extract_pages"]
+    ordered.update((k, base[k]) for k in base if k in parity)
     # rows-only queries ranked: extraction-surface pipelines whose driver
     # row is the ONLY external record first (extract_pages is the flagship;
     # pdf_tables has no oracled twin and its grid semantics live in binary
@@ -848,10 +863,53 @@ def queries() -> dict:
                 "multimodal_decode",
                 "media_resize", "video_frames", "ann_lsh", "ann_ivf"]
     rank = {n: i for i, n in enumerate(priority)}
-    rows_only = [k for k in base if k not in sql]
+    rows_only = [k for k in base if k not in ordered]
     rows_only.sort(key=lambda k: rank.get(k, len(priority)))
     ordered.update((k, base[k]) for k in rows_only)
     return ordered
+
+
+def parity_oracle_names() -> frozenset:
+    """Names whose SQL twin came from a batch module's parity harness
+    (merged into oracle_sql() in round 3).  They are real driver-facing
+    oracles, but the central tests/test_queries.py harness skips them —
+    each batch's own test file already runs the identical columns/rows/
+    multiset comparison, so re-running them centrally would double the
+    suite's runtime for zero new signal."""
+    return frozenset(_parity_sql_merged())
+
+
+def _parity_sql_merged() -> dict[str, str]:
+    """Union of every batch module's parity SQL (58 queries, round 3).
+    Collisions are a bug: each batch owns its query names."""
+    from .queries_r3 import parity_sql_r3
+    from .queries_r3b import parity_sql_r3b
+    from .queries_r3c import parity_sql_r3c
+    from .queries_r3d import parity_sql_r3d
+    from .queries_r3e import parity_sql_r3e
+    from .queries_r3f import parity_sql_r3f
+    from .queries_r3g import parity_sql_r3g
+    from .queries_r3h import parity_sql_r3h
+    from .queries_r3i import parity_sql_r3i
+    from .queries_r3j import parity_sql_r3j
+    from .queries_r3k import parity_sql_r3k
+    from .queries_r3m import parity_sql_r3m
+    from .queries_r3n import parity_sql_r3n
+    from .queries_r3p import parity_sql_r3p
+    from .queries_r3ah import parity_sql_r3ah
+
+    merged: dict[str, str] = {}
+    for fn in (parity_sql_r3, parity_sql_r3b, parity_sql_r3c,
+               parity_sql_r3d, parity_sql_r3e, parity_sql_r3f,
+               parity_sql_r3g, parity_sql_r3h, parity_sql_r3i,
+               parity_sql_r3j, parity_sql_r3k, parity_sql_r3m,
+               parity_sql_r3n, parity_sql_r3p, parity_sql_r3ah):
+        part = fn()
+        dup = set(part) & set(merged)
+        if dup:
+            raise ValueError(f"parity SQL name collision: {sorted(dup)}")
+        merged.update(part)
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
@@ -881,4 +939,5 @@ def oracle_sql() -> dict[str, str]:
     from .queries_r3af import oracle_sql_r3af
 
     base.update(oracle_sql_r3af())
+    base.update(_parity_sql_merged())
     return base
