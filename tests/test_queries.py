@@ -217,6 +217,10 @@ _ROWS_ONLY_SCHEMAS = {
                        'stop_density', 'tag_path', 'url'],
     "html_tables": ['n_cells', 'row_idx', 'row_text', 'table_idx', 'url'],
     "pdf_tables": ['grid', 'table_idx', 'url'],
+    # round-3 batch AI (CDX random-access WARC; byte-parity pinned in
+    # tests/test_queries_r3ai.py)
+    "cdx_hosts": ['host_num', 'n_captures', 'total_bytes'],
+    "cdx_selective_extract": ['doc_type', 'n_chars', 'text_sha16', 'url'],
     "extract_embed_neardup": ['cos', 'id_a', 'id_b'],
     "audio_features": ['decode_ok', 'duration_s', 'error', 'media_id',
                        'n_channels', 'peak', 'rms', 'zcr'],

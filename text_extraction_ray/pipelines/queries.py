@@ -795,10 +795,12 @@ def queries() -> dict:
     from .queries_r3af import queries_r3af
     from .queries_r3ag import queries_r3ag
     from .queries_r3ah import queries_r3ah
+    from .queries_r3ai import queries_r3ai
 
     base.update(queries_r3af())
     base.update(queries_r3ag())
     base.update(queries_r3ah())
+    base.update(queries_r3ai())
     sql = oracle_sql()
     parity = parity_oracle_names()
     # Driver-window block (first 50), byte-identical to rounds 1-3's
@@ -830,7 +832,8 @@ def queries() -> dict:
     priority = ["extract_pages", "pdf_tables", "image_tables_text",
                 "scanned_pdf_tables", "image_tables_skewed",
                 "explain_blocks",
-                "html_tables", "extract_embed_neardup",
+                "html_tables", "cdx_selective_extract", "cdx_hosts",
+                "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
                 "audio_features", "docs_redact", "decontaminate",
                 "users_by_type_hll", "cust_orders_full_outer",
