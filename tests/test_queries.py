@@ -221,6 +221,7 @@ _ROWS_ONLY_SCHEMAS = {
     # tests/test_queries_r3ai.py)
     "cdx_hosts": ['host_num', 'n_captures', 'total_bytes'],
     "cdx_selective_extract": ['doc_type', 'n_chars', 'text_sha16', 'url'],
+    "cdx_point_lookup": ['doc_type', 'n_chars', 'text_sha16', 'url'],
     "extract_embed_neardup": ['cos', 'id_a', 'id_b'],
     "audio_features": ['decode_ok', 'duration_s', 'error', 'media_id',
                        'n_channels', 'peak', 'rms', 'zcr'],

@@ -130,3 +130,61 @@ def test_r3ai_registered_rows_only(ray_session):
     for n in queries_r3ai():
         assert n in qs and n not in osql, n
     assert names[len(osql) + 1] == "pdf_tables"
+
+
+def test_cluster_master_is_sorted_and_complete(ray_session):
+    """master.cdx holds every capture in (surt, ts) order; cluster.idx
+    samples exactly every BLOCK_LINES-th boundary and tiles the file."""
+    from text_extraction_ray.pipelines.queries_r3ai import (CDX_ROWS,
+                                                            _cdx_cluster_dir)
+    from text_extraction_ray.sources.cdx_cluster import BLOCK_LINES
+
+    cdir = _cdx_cluster_dir(SF_DIR)
+    master = open(os.path.join(cdir, "master.cdx")).read().splitlines()
+    assert len(master) == CDX_ROWS
+    surts = [line.split(" ", 1)[0] for line in master]
+    assert surts == sorted(surts)
+    cluster = open(os.path.join(cdir, "cluster.idx")).read().splitlines()
+    assert len(cluster) == -(-CDX_ROWS // BLOCK_LINES)
+    pos = 0
+    size = os.path.getsize(os.path.join(cdir, "master.cdx"))
+    for line in cluster:
+        key, off, ln = line.rsplit(" ", 2)
+        assert int(off) == pos
+        pos += int(ln)
+    assert pos == size
+
+
+def test_point_lookup_matches_full_reader_with_bounded_reads(ray_session):
+    """Each looked-up url resolves to its exact capture; the index bytes
+    touched stay <= n_blocks * max block size (two bounded reads per
+    lookup, never a scan); a miss returns no rows."""
+    from text_extraction_ray.pipelines.extraction import extract_pages
+    from text_extraction_ray.pipelines.queries_r3ai import (
+        _cdx_cluster_dir, _warc_cdx_corpus, lookup_urls,
+        q_cdx_point_lookup)
+    from text_extraction_ray.sources.cdx_cluster import CdxCluster
+    from text_extraction_ray.sources.warc import read_warc_pages
+
+    got = q_cdx_point_lookup(SF_DIR).to_pandas()
+    urls = lookup_urls(SF_DIR)
+    assert sorted(got["url"]) == sorted(urls)
+    wdir = _warc_cdx_corpus(SF_DIR)
+    full = extract_pages(read_warc_pages(wdir), mode="single_pass",
+                         concurrency=(1, 4), batch_size=32).to_pandas()
+    want = full[full["url"].isin(urls)]
+    gm = dict(zip(got["url"], got["text_sha16"]))
+    for _, row in want.iterrows():
+        sha = hashlib.md5((row["extracted_text"] or "")
+                          .encode("utf-8")).hexdigest()[:16]
+        assert gm[row["url"]] == sha, row["url"]
+    # bounded reads: every lookup touches at most 2 blocks
+    cdir = _cdx_cluster_dir(SF_DIR)
+    cluster = CdxCluster(cdir)
+    rows = cluster.lookup_index_rows(urls)
+    assert len(rows) == len(urls)
+    max_block = max(ln for _, ln in cluster.extents)
+    assert 0 < cluster.bytes_read <= 2 * len(urls) * max_block
+    assert cluster.bytes_read < os.path.getsize(cluster.master_path)
+    miss = cluster.lookup_index_rows(["https://site1.example/nope"])
+    assert len(miss) == 0

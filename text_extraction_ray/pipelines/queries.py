@@ -833,7 +833,7 @@ def queries() -> dict:
                 "scanned_pdf_tables", "image_tables_skewed",
                 "explain_blocks",
                 "html_tables", "cdx_selective_extract", "cdx_hosts",
-                "extract_embed_neardup",
+                "cdx_point_lookup", "extract_embed_neardup",
                 "docs_dedup_apply", "orders_rank", "lang_doc_csv",
                 "audio_features", "docs_redact", "decontaminate",
                 "users_by_type_hll", "cust_orders_full_outer",

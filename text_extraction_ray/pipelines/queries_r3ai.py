@@ -1,7 +1,7 @@
 """Round-3 continuation batch AI: CDX-indexed selective WARC
 re-extraction — the random-access crawl pattern (sources/cdx.py).
 
-Two registered queries (rows-only: the surface is WARC bytes + a text
+Three registered queries (rows-only: the surface is WARC bytes + a text
 index, not SQL tables; byte-parity vs the full reader is pytest-pinned
 in tests/test_queries_r3ai.py):
 
@@ -15,6 +15,10 @@ in tests/test_queries_r3ai.py):
   them.  I/O is Σ selected member lengths (~12% of the corpus at the
   12-of-97-hosts predicate), not corpus size; output rows are
   byte-identical to the full-reader extraction on the same urls.
+- ``cdx_point_lookup`` — the two-level cluster.idx pattern
+  (sources/cdx_cluster.py): single-URL captures via one in-memory
+  binary search + one master-block ranged read + one member fetch,
+  reads independent of corpus size.
 """
 
 from __future__ import annotations
@@ -118,8 +122,61 @@ def q_cdx_selective_extract(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(_digest_out, **_PYA)
 
 
+def _cdx_cluster_dir(sf_dir: str) -> str:
+    """The two-level index over the WARC corpus, cached like the corpus
+    itself (rebuilt when the underlying WARC stamp moves)."""
+    from ..sources.cdx_cluster import build_cdx_cluster
+
+    wdir = _warc_cdx_corpus(sf_dir)
+    with open(os.path.join(wdir, "_STAMP")) as fh:
+        stamp = "cluster of " + fh.read()
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cdir = os.path.join(tempfile.gettempdir(), f"tx_cdx_cluster_{tag}")
+    os.makedirs(cdir, exist_ok=True)
+    stamp_path = os.path.join(cdir, "_STAMP")
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as fh:
+            if fh.read() == stamp:
+                return cdir
+    build_cdx_cluster(wdir, cdir)
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return cdir
+
+
+def lookup_urls(sf_dir: str, n: int = 20) -> list[str]:
+    """Deterministic lookup set: every 5th url of the first corpus
+    shard (known-present captures; misses are tested in pytest)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    pdir = os.path.join(tempfile.gettempdir(), f"tx_cdx_pages_{tag}")
+    t = pq.read_table(os.path.join(pdir, "part-00000.parquet"),
+                      columns=["url"])
+    urls = t.column("url").to_pylist()
+    return urls[::5][:n]
+
+
+def q_cdx_point_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Single-URL captures resolved through the two-level index: one
+    cluster.idx binary search + ONE master-block ranged read per url +
+    one gzip member fetch — reads independent of corpus size."""
+    from ..sources.cdx import fetch_cdx_members
+    from ..sources.cdx_cluster import CdxCluster
+    from .extraction import extract_pages
+
+    cdir = _cdx_cluster_dir(sf_dir)
+    cluster = CdxCluster(cdir)
+    rows = cluster.lookup_index_rows(lookup_urls(sf_dir))
+    pages = (ray.data.from_arrow(rows.drop_columns(["surt"]))
+             .map_batches(fetch_cdx_members, **_PYA)
+             .drop_columns(["bytes_read"]))
+    out = extract_pages(pages, mode="single_pass", concurrency=(1, 4),
+                        batch_size=32)
+    return out.map_batches(_digest_out, **_PYA)
+
+
 def queries_r3ai() -> dict:
     return {
         "cdx_hosts": q_cdx_hosts,
         "cdx_selective_extract": q_cdx_selective_extract,
+        "cdx_point_lookup": q_cdx_point_lookup,
     }
