@@ -39,51 +39,63 @@ from .warc import _safe_uri
 BLOCK_LINES = 32
 
 
-def build_cdx_cluster(warc_dir: str, out_dir: str,
-                      block_lines: int = BLOCK_LINES) -> tuple[str, str]:
-    """Sort every ``<shard>.cdx`` under ``warc_dir`` into
-    ``out_dir/master.cdx`` + ``out_dir/cluster.idx``; returns both paths.
+def write_master_and_cluster(rows, out_dir: str,
+                             block_lines: int = BLOCK_LINES,
+                             ) -> tuple[str, str]:
+    """Stream ALREADY-SORTED (surt, ts, url, offset, length, filename)
+    tuples into ``out_dir/master.cdx`` + ``out_dir/cluster.idx``.
 
     cluster.idx line: ``first_surt offset length`` — the byte extent of
-    each block of ``block_lines`` master lines."""
+    each block of ``block_lines`` master lines.  Pure function (no Ray)
+    so the geometry is property-testable; build_cdx_cluster supplies the
+    distributed sort."""
     os.makedirs(out_dir, exist_ok=True)
-    idx = read_cdx(warc_dir).sort(["surt", "warc_ts"])
     master_path = os.path.join(out_dir, "master.cdx")
     cluster_path = os.path.join(out_dir, "cluster.idx")
     n_in_block, block_first, block_start = 0, None, 0
     cluster_lines: list[str] = []
     with open(master_path, "w", encoding="ascii") as fh:
-        for batch in idx.iter_batches(batch_size=1024,
-                                      batch_format="pyarrow"):
-            surts = batch.column("surt").to_pylist()
-            urls = batch.column("url").to_pylist()
-            tss = batch.column("warc_ts").to_pylist()
-            offs = batch.column("offset").to_pylist()
-            lens = batch.column("length").to_pylist()
-            fnames = batch.column("filename").to_pylist()
-            for s, u, t, o, ln, fn in zip(surts, urls, tss, offs, lens,
-                                          fnames):
-                if n_in_block == 0:
-                    block_first, block_start = s, fh.tell()
-                # master lines carry the sidecar's full WARC path (a
-                # deliberate divergence from CC's basename convention:
-                # it keeps _parse_cdx_block's dirname join a no-op and
-                # the master relocatable w.r.t. the cluster dir)
-                fh.write(" ".join((
-                    s, t.strftime("%Y%m%d%H%M%S"), _safe_uri(u),
-                    str(o), str(ln), fn)) + "\n")
-                n_in_block += 1
-                if n_in_block == block_lines:
-                    cluster_lines.append(
-                        f"{block_first} {block_start} "
-                        f"{fh.tell() - block_start}")
-                    n_in_block = 0
+        for s, t, u, o, ln, fn in rows:
+            if n_in_block == 0:
+                block_first, block_start = s, fh.tell()
+            # master lines carry the sidecar's full WARC path (a
+            # deliberate divergence from CC's basename convention: it
+            # keeps _parse_cdx_block's dirname join a no-op and the
+            # master relocatable w.r.t. the cluster dir)
+            fh.write(" ".join((
+                s, t.strftime("%Y%m%d%H%M%S"), _safe_uri(u),
+                str(o), str(ln), fn)) + "\n")
+            n_in_block += 1
+            if n_in_block == block_lines:
+                cluster_lines.append(
+                    f"{block_first} {block_start} "
+                    f"{fh.tell() - block_start}")
+                n_in_block = 0
         if n_in_block:
             cluster_lines.append(
                 f"{block_first} {block_start} {fh.tell() - block_start}")
     with open(cluster_path, "w", encoding="ascii") as fh:
         fh.write("\n".join(cluster_lines) + ("\n" if cluster_lines else ""))
     return master_path, cluster_path
+
+
+def build_cdx_cluster(warc_dir: str, out_dir: str,
+                      block_lines: int = BLOCK_LINES) -> tuple[str, str]:
+    """Sort every ``<shard>.cdx`` under ``warc_dir`` (one distributed
+    sort — the only exchange) into the two-level index."""
+    idx = read_cdx(warc_dir).sort(["surt", "warc_ts"])
+
+    def ordered_rows():
+        for batch in idx.iter_batches(batch_size=1024,
+                                      batch_format="pyarrow"):
+            yield from zip(batch.column("surt").to_pylist(),
+                           batch.column("warc_ts").to_pylist(),
+                           batch.column("url").to_pylist(),
+                           batch.column("offset").to_pylist(),
+                           batch.column("length").to_pylist(),
+                           batch.column("filename").to_pylist())
+
+    return write_master_and_cluster(ordered_rows(), out_dir, block_lines)
 
 
 class CdxCluster:
@@ -107,17 +119,15 @@ class CdxCluster:
                 self.extents.append((int(off), int(ln)))
 
     def _blocks_for(self, surt: str) -> list[tuple[int, int]]:
-        # rightmost block whose first key <= surt; when the block STARTS
-        # at the lookup key, earlier captures of the same key may have
-        # spilled into the previous block (CC's spanning-key case), so
-        # include it too
-        i = bisect.bisect_right(self.keys, surt) - 1
-        if i < 0:
+        # A key's run can span MANY blocks (block_lines+ captures of one
+        # URL): rows live in every block whose first key == surt, plus
+        # the block just before (the run may start mid-block there).
+        if not self.keys:
             return []
-        out = [self.extents[i]]
-        if i > 0 and self.keys[i] == surt:
-            out.append(self.extents[i - 1])
-        return out
+        lo = bisect.bisect_left(self.keys, surt)
+        hi = bisect.bisect_right(self.keys, surt)
+        start = max(0, lo - 1)
+        return self.extents[start:max(hi, start + 1)]
 
     def lookup_index_rows(self, urls: list[str],
                           master_dir: str | None = None) -> pa.Table:
