@@ -1,0 +1,99 @@
+"""Round-3 continuation batch AJ: leakage-free train/test splitting.
+
+One registered query, fully oracled (batch-parity block):
+
+- ``docs_leakfree_split`` — the published dedup-leakage concern (e.g.
+  Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better"): a random per-document split leaks near-duplicates across
+  the train/test boundary, inflating eval.  The fix is to bucket by
+  NEAR-DUP GROUP, not by document: every document inherits its
+  connected-component label from the oracled near-dup cluster table
+  (singletons label themselves), and the split decision hashes the
+  GROUP id — md5 first hex digit in 0-2 → 'test' (3/16 expected), else
+  'train' — so an entire near-dup family always lands on one side.
+
+Scale note: scan-shaped.  The clustered-label side is bounded by the
+number of CLUSTERED documents (pairs are banded/bucketed upstream), is
+broadcast once, and every batch maps vec_id → group label + md5 bucket
+locally; no exchange beyond the cluster table's own construction.  The
+md5-of-group-id convention matches fingerprint_md5's oracled precedent
+(hashlib hex == DuckDB md5() on identical strings).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+
+_PYA = {"batch_format": "pyarrow"}
+
+TEST_HEX = ("0", "1", "2")     # first md5 hex digit -> test (3/16)
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    from .queries import read_table
+
+    return read_table(sf_dir, table, columns)
+
+
+def q_docs_leakfree_split(sf_dir: str) -> ray.data.Dataset:
+    from .queries_ext import q_neardup_clusters
+
+    clusters = q_neardup_clusters(sf_dir)
+    label = dict(zip(clusters.column("doc_id").to_pylist(),
+                     clusters.column("cluster_id").to_pylist()))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_pylist()
+        groups = [label.get(v, v) for v in vids]
+        splits = ["test" if hashlib.md5(str(g).encode()).hexdigest()[0]
+                  in TEST_HEX else "train" for g in groups]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "group_id": pa.array(groups, type=pa.int64()),
+            "split": pa.array(splits, type=pa.string()),
+        })
+
+    return (_read(sf_dir, "embeddings", ["vec_id"])
+            .map_batches(assign, **_PYA))
+
+
+SQL_DOCS_LEAKFREE_SPLIT = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+walk (node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+labels AS (SELECT node, MIN(label) AS grp FROM walk GROUP BY node)
+SELECT e.vec_id, COALESCE(l.grp, e.vec_id) AS group_id,
+       CASE WHEN substr(md5(CAST(COALESCE(l.grp, e.vec_id) AS VARCHAR)),
+                        1, 1) IN ('0', '1', '2')
+            THEN 'test' ELSE 'train' END AS split
+FROM embeddings e LEFT JOIN labels l ON l.node = e.vec_id
+"""
+
+
+def queries_r3aj() -> dict:
+    return {
+        "docs_leakfree_split": q_docs_leakfree_split,
+    }
+
+
+def parity_sql_r3aj() -> dict[str, str]:
+    """DuckDB twin — driver oracle via the batch-parity merge AND the
+    pytest parity gate in tests/test_queries_r3aj.py."""
+    return {
+        "docs_leakfree_split": SQL_DOCS_LEAKFREE_SPLIT,
+    }
