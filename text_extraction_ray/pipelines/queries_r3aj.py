@@ -26,6 +26,7 @@ import hashlib
 
 import pyarrow as pa
 
+import ray
 import ray.data
 
 _PYA = {"batch_format": "pyarrow"}
@@ -43,10 +44,14 @@ def q_docs_leakfree_split(sf_dir: str) -> ray.data.Dataset:
     from .queries_ext import q_neardup_clusters
 
     clusters = q_neardup_clusters(sf_dir)
-    label = dict(zip(clusters.column("doc_id").to_pylist(),
-                     clusters.column("cluster_id").to_pylist()))
+    # bounded by the number of CLUSTERED docs; ray.put once, read per
+    # task (the J1 broadcast idiom — never per-batch reshipping)
+    label_ref = ray.put(dict(
+        zip(clusters.column("doc_id").to_pylist(),
+            clusters.column("cluster_id").to_pylist())))
 
     def assign(batch: pa.Table) -> pa.Table:
+        label = ray.get(label_ref)
         vids = batch.column("vec_id").to_pylist()
         groups = [label.get(v, v) for v in vids]
         splits = ["test" if hashlib.md5(str(g).encode()).hexdigest()[0]
