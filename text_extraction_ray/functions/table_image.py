@@ -559,3 +559,195 @@ class DeskewingTableExtractor(TableImageExtractor):
                 best_s, best_score, best_dark = s, score, un
         self.last_shear = best_s          # introspection for tests
         return self._grid_from_dark(best_dark)
+
+
+# --- full-page scanned-text OCR (round 3 batch AK) --------------------------
+# The reference's free-text leg for the raster modality: a scanned PAGE
+# of numeric words (multiple lines, multiple words per line) is read
+# back line-by-line — document → line regions → ordered text — with the
+# same bit-packed matcher the table family uses.  The planted content is
+# a pure function of doc_id (mirrored in SQL_SCANNED_PAGE_TEXT), so the
+# query is fully oracled.
+
+PAGE_LEADING = 7                 # blank rows between lines; >= GLYPH_H so
+                                 # no match window can straddle two lines
+PAGE_WORD_GAP = 8                # background px between words (> _PITCH+1
+                                 # so the pitch walk can never bridge it)
+
+
+def page_lines(doc_id: int) -> int:
+    return 3 + doc_id % 4
+
+
+def page_line_words(doc_id: int, line: int) -> int:
+    return 2 + (doc_id + line) % 3
+
+
+def page_word_value(doc_id: int, line: int, j: int) -> int:
+    return (doc_id * 13 + line * 5 + j * 3) % 1000
+
+
+def page_line_text(doc_id: int, line: int) -> str:
+    return " ".join(str(page_word_value(doc_id, line, j))
+                    for j in range(page_line_words(doc_id, line)))
+
+
+def render_page_image(doc_id: int) -> tuple[int, int, bytes]:
+    """(w, h, grayscale bytes) — numeric words at fixed glyph pitch,
+    PAGE_WORD_GAP background px between words, PAGE_LEADING blank rows
+    between lines, ~1% salt-and-pepper noise."""
+    font = font_tensor()
+    lines = [page_line_text(doc_id, line)
+             for line in range(page_lines(doc_id))]
+
+    def line_width(text: str) -> int:
+        wpx = 0
+        for k, word in enumerate(text.split(" ")):
+            if k:
+                wpx += PAGE_WORD_GAP
+            wpx += len(word) * _PITCH - (_PITCH - GLYPH_W)
+        return wpx
+
+    w = 2 * MARGIN + max(line_width(t) for t in lines)
+    h = 2 * MARGIN + (len(lines) * GLYPH_H
+                      + (len(lines) - 1) * PAGE_LEADING)
+    img = np.full((h, w), 255, dtype=np.uint8)
+    for line, text in enumerate(lines):
+        y0 = MARGIN + line * (GLYPH_H + PAGE_LEADING)
+        x = MARGIN
+        for k, word in enumerate(text.split(" ")):
+            if k:
+                x += PAGE_WORD_GAP
+            for ch in word:
+                g = font[int(ch)]
+                cell = img[y0:y0 + GLYPH_H, x:x + GLYPH_W]
+                cell[g] = 0
+                x += _PITCH
+            x -= (_PITCH - GLYPH_W)
+    flip = _noise_mask(doc_id, h, w)
+    img[flip] = 255 - img[flip]
+    return w, h, img.tobytes()
+
+
+def synth_page_image_batch(batch: pa.Table,
+                           id_col: str = "doc_id") -> pa.Table:
+    """One encoded page scan per row, cycling BMP / PNG / GIF by id."""
+    ids = batch.column(id_col).to_pylist()
+    media, mtype = [], []
+    for i in ids:
+        w, h, gray = render_page_image(i)
+        mt = (BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, GIF_MEDIA_TYPE)[i % 3]
+        media.append(_encode_any(mt, w, h, gray))
+        mtype.append(mt)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(media, type=pa.binary()),
+        "media_type": pa.array(mtype, type=pa.string()),
+    })
+
+
+class PageTextExtractor(TableStringExtractor):
+    """Actor-pool stage: (doc_id, media, media_type) → one row per
+    detected text line (doc_id, line, text).
+
+    No projection-profile heuristics anywhere: at ~1% noise a row
+    projection over a 200-px-wide page sees 2 dark pixels per BLANK row
+    in expectation, so ink-count line segmentation is hopeless.  Instead
+    the proven anchor-and-walk reader runs repeatedly over the page's
+    Hamming dist tensor: take the GLOBAL best window (a true glyph —
+    false anchors need ≥5 targeted flips in one 35-px window,
+    P≈3e-8/slot), walk the fixed glyph pitch to read its whole word,
+    CONSUME the word's neighborhood (±(GLYPH_H−1) rows ×
+    ±(_PITCH+1) cols — covers every straddle window between its glyphs
+    and into its word gaps; PAGE_LEADING ≥ GLYPH_H means no window can
+    mix two lines), and repeat until no window passes.  Words then
+    group into lines by anchor row and order by x."""
+
+    def _read_page(self, dist: np.ndarray) -> list[str]:
+        dist = dist.copy()
+        ph, pw, _ = dist.shape
+        words: list[tuple[int, int, str]] = []       # (y, x_first, text)
+        while True:
+            dmin = dist.min(axis=2)
+            y0, x0 = np.unravel_index(int(np.argmin(dmin)), dmin.shape)
+            if dmin[y0, x0] > self._CHAR_ACCEPT:
+                break
+
+            def probe(x: int) -> tuple[int, int, int, int]:
+                best, dig, by, bx = 99, -1, y0, x
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y0 + dy, x + dx
+                        if 0 <= yy < ph and 0 <= xx < pw:
+                            d = int(dist[yy, xx].min())
+                            if d < best:
+                                best, dig, by, bx = d, int(
+                                    dist[yy, xx].argmin()), yy, xx
+                return best, dig, by, bx
+
+            got, hits = {}, {}
+            edges = [x0, x0]
+            for step in (1, -1):
+                k = step if step == 1 else -1
+                if step == 1:
+                    got[0] = int(dist[y0, x0].argmin())
+                    hits[0] = (y0, x0)
+                while True:
+                    b, dg, by, bx = probe(x0 + k * _PITCH)
+                    if b > self._CHAR_ACCEPT:
+                        break
+                    got[k] = dg
+                    hits[k] = (by, bx)
+                    edges[0 if step == -1 else 1] = bx
+                    k += step
+            # consensus-lattice re-read: a noisy slot can win at a ±1
+            # jittered window and misread (observed 1/150k glyphs);
+            # the word's glyphs sit on an exact pitch lattice, so take
+            # the median per-slot offset and re-decide each digit at
+            # its lattice window when that window itself passes
+            ks = sorted(got)
+            dy_off = int(np.median([hits[k][0] - y0 for k in ks]))
+            dx_off = int(np.median([hits[k][1] - (x0 + k * _PITCH)
+                                    for k in ks]))
+            for k in ks:
+                yy = y0 + dy_off
+                xx = x0 + k * _PITCH + dx_off
+                if 0 <= yy < ph and 0 <= xx < pw and \
+                        int(dist[yy, xx].min()) <= self._CHAR_ACCEPT:
+                    got[k] = int(dist[yy, xx].argmin())
+            text = "".join(str(got[k]) for k in sorted(got))
+            x_lo, x_hi = min(edges), max(edges)
+            words.append((int(y0), x_lo, text))
+            dist[max(0, y0 - GLYPH_H + 1):y0 + GLYPH_H,
+                 max(0, x_lo - _PITCH - 1):x_hi + _PITCH + 2, :] = 99
+        lines: dict[int, list[tuple[int, str]]] = {}
+        for y, x, text in sorted(words):
+            row = next((ly for ly in lines if abs(ly - y) <= 1), y)
+            lines.setdefault(row, []).append((x, text))
+        return [" ".join(t for _, t in sorted(ws))
+                for _, ws in sorted(lines.items())]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        media = batch.column("media").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        o_id, o_line, o_text = [], [], []
+        groups: dict[tuple[int, int], list] = {}
+        for i, m, mt in zip(ids, media, mtypes):
+            w, h, gray = _decode_any(mt, m)
+            dark = (np.frombuffer(gray, dtype=np.uint8)[:w * h]
+                    .reshape(h, w) < 128)
+            groups.setdefault(dark.shape, []).append((i, dark))
+        for shape, members in groups.items():
+            stack = np.stack([d for _, d in members])
+            dists = self._dist_tensor(stack)
+            for (i, _), dist in zip(members, dists):
+                for line, text in enumerate(self._read_page(dist)):
+                    o_id.append(i)
+                    o_line.append(line)
+                    o_text.append(text)
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "line": pa.array(o_line, type=pa.int64()),
+            "text": pa.array(o_text, type=pa.string()),
+        })

@@ -797,18 +797,20 @@ def queries() -> dict:
     from .queries_r3ah import queries_r3ah
     from .queries_r3ai import queries_r3ai
     from .queries_r3aj import queries_r3aj
+    from .queries_r3ak import queries_r3ak
 
     base.update(queries_r3af())
     base.update(queries_r3ag())
     base.update(queries_r3ah())
     base.update(queries_r3ai())
     base.update(queries_r3aj())
+    base.update(queries_r3ak())
     sql = oracle_sql()
     parity = parity_oracle_names()
     # Driver-window block (first 50), byte-identical to rounds 1-3's
     # recorded layout: the 49 core-oracled queries in registration order,
     # then extract_pages (the flagship extraction pipeline, whose rows-only
-    # driver row is its only external record).  The 59 batch-parity queries
+    # driver row is its only external record).  The 60 batch-parity queries
     # gained driver-facing SQL twins in round 3 (merged below) but sit just
     # past the window so the recorded 50 rows never change shape; if the
     # driver's cap ever grows, they upgrade from "no row" straight to the
@@ -885,7 +887,7 @@ def parity_oracle_names() -> frozenset:
 
 
 def _parity_sql_merged() -> dict[str, str]:
-    """Union of every batch module's parity SQL (59 queries, round 3).
+    """Union of every batch module's parity SQL (60 queries, round 3).
     Collisions are a bug: each batch owns its query names."""
     from .queries_r3 import parity_sql_r3
     from .queries_r3b import parity_sql_r3b
@@ -903,6 +905,7 @@ def _parity_sql_merged() -> dict[str, str]:
     from .queries_r3p import parity_sql_r3p
     from .queries_r3ah import parity_sql_r3ah
     from .queries_r3aj import parity_sql_r3aj
+    from .queries_r3ak import parity_sql_r3ak
 
     merged: dict[str, str] = {}
     for fn in (parity_sql_r3, parity_sql_r3b, parity_sql_r3c,
@@ -910,7 +913,7 @@ def _parity_sql_merged() -> dict[str, str]:
                parity_sql_r3g, parity_sql_r3h, parity_sql_r3i,
                parity_sql_r3j, parity_sql_r3k, parity_sql_r3m,
                parity_sql_r3n, parity_sql_r3p, parity_sql_r3ah,
-               parity_sql_r3aj):
+               parity_sql_r3aj, parity_sql_r3ak):
         part = fn()
         dup = set(part) & set(merged)
         if dup:
