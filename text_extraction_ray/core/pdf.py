@@ -658,19 +658,24 @@ _IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 
 
 _SCAN_READER = None
+_PAGE_READER = None
 
 
-def _scanned_grids(payload: bytes,
-                   objects: dict | None = None) -> list[str]:
-    """Table grids read out of embedded scanned images (cells \\t, rows
-    \\n — the same shape as the vector-ruling grids), object order.
+def _scanned_regions(payload: bytes,
+                     objects: dict | None = None
+                     ) -> list[tuple[str, str]]:
+    """(kind, text) per embedded scanned image, object order: kind
+    'table' (cells \\t, rows \\n — the vector-ruling grid shape) when
+    the cell-grid reader finds a ruled table, else 'text' (lines joined
+    by \\n) when the page-OCR reader finds free-text words — the
+    corpus-v5 scanned-document population with BOTH page types.
 
-    The cell-grid OCR reader (functions/table_image.py) is built once
-    per process and cached — actor-resident state, same discipline as
-    the LSH plane cache.  Images that aren't tables (no detectable
-    ruling grid) contribute nothing; a failing read never breaks the
-    document (extract_document totality, M11)."""
-    global _SCAN_READER
+    Both OCR readers (functions/table_image.py) are built once per
+    process and cached — actor-resident state, same discipline as the
+    LSH plane cache.  Images that are neither contribute nothing; a
+    failing read never breaks the document (extract_document totality,
+    M11)."""
+    global _SCAN_READER, _PAGE_READER
     imgs = pdf_images(payload, objects)
     if not imgs:
         return []
@@ -678,23 +683,50 @@ def _scanned_grids(payload: bytes,
         from ..functions.table_image import TableImageExtractor
 
         _SCAN_READER = TableImageExtractor()
-    grids: list[str] = []
+    out: list[tuple[str, str]] = []
     for w, h, gray in imgs:
         if w <= 0 or h <= 0 or len(gray) < w * h:
             continue
         try:
             cells = _SCAN_READER.read_table_cells(w, h, gray)
         except Exception:
+            cells = []
+        if cells:
+            by_r: dict[int, dict[int, str]] = {}
+            for r, c, v in cells:
+                by_r.setdefault(r, {})[c] = v
+            out.append(("table", "\n".join(
+                "\t".join(row[c] for c in sorted(row))
+                for _, row in sorted(by_r.items()))))
             continue
-        if not cells:
-            continue
-        by_r: dict[int, dict[int, str]] = {}
-        for r, c, v in cells:
-            by_r.setdefault(r, {})[c] = v
-        grids.append("\n".join(
-            "\t".join(row[c] for c in sorted(row))
-            for _, row in sorted(by_r.items())))
-    return grids
+        # no ruled grid: free-text page scan (corpus v=5)
+        try:
+            import numpy as np
+
+            from ..functions.table_image import GLYPH_H, GLYPH_W
+
+            if h < GLYPH_H or w < GLYPH_W:
+                continue
+            if _PAGE_READER is None:
+                from ..functions.table_image import PageTextExtractor
+
+                _PAGE_READER = PageTextExtractor()
+            dark = (np.frombuffer(gray, dtype=np.uint8)[:w * h]
+                    .reshape(h, w) < 128)
+            dist = _PAGE_READER._dist_tensor(dark[None])[0]
+            lines = [ln for ln in _PAGE_READER._read_page(dist) if ln]
+        except Exception:
+            lines = []
+        if lines:
+            out.append(("text", "\n".join(lines)))
+    return out
+
+
+def _scanned_grids(payload: bytes,
+                   objects: dict | None = None) -> list[str]:
+    """Only the TABLE regions of the scanned images (pdf_tables' view)."""
+    return [t for kind, t in _scanned_regions(payload, objects)
+            if kind == "table"]
 
 
 def pdf_images(payload: bytes,
@@ -764,13 +796,14 @@ def extract_pdf(payload: bytes) -> dict:
         n_regions += len(parts)
         if parts:
             page_texts.append(JOINER.join(parts))
-    # scanned pages (corpus v=4): embedded table images OCR'd by the
-    # cell-grid reader contribute their grids as additional page texts
-    # — a scanned-document PDF (no text runs at all) extracts REAL text
+    # scanned pages (corpus v=4 tables, v=5 adds free-text pages):
+    # embedded images OCR'd by the cell-grid / page-text readers
+    # contribute their regions as additional page texts, image order —
+    # a scanned-document PDF (no text runs at all) extracts REAL text
     # instead of coming back empty, echoing the reference's core loop
-    scan_grids = _scanned_grids(payload, objects)
-    page_texts.extend(scan_grids)
-    n_regions += len(scan_grids)
+    scan_regions = [t for _, t in _scanned_regions(payload, objects)]
+    page_texts.extend(scan_regions)
+    n_regions += len(scan_regions)
     text = JOINER.join(page_texts)
     spans: list[tuple[int, int]] = []
     pos = 0
