@@ -62,12 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 109 of 168 registered queries.  The
+    names as the Ray results) — 110 of 169 registered queries.  The
     driver's 50-row window is pinned byte-identical to the recorded
     rounds (49 core-oracled + extract_pages, the flagship extraction
-    smoke); the 60 batch-parity oracles (tests/test_queries_r3*.py each
+    smoke); the 61 batch-parity oracles (tests/test_queries_r3*.py each
     pin the identical columns/rows/multiset comparison at sf0.01) sit at
-    positions 51-110, so a driver-side cap can only truncate queries
+    positions 51-111, so a driver-side cap can only truncate queries
     that already carry the same check in pytest, and if the cap ever
     grows they upgrade straight to recorded rows+schema+hash rows.
     The 59 remaining rows-only queries are approximate or inherently

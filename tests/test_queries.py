@@ -168,7 +168,7 @@ def test_registry_orders_oracled_first(registry):
     """Cap-proofing: the driver records only the first 50 registered
     queries.  The window is pinned byte-identical to the recorded rounds:
     49 core-oracled queries then extract_pages (flagship, rows-only).
-    The 60 batch-parity oracles sit at positions 51-110 — every oracled
+    The 61 batch-parity oracles sit at positions 51-111 — every oracled
     query still precedes every other rows-only one, so if the cap grows
     the weakest checks are always the last to be recorded."""
     from text_extraction_ray.pipelines.queries import parity_oracle_names

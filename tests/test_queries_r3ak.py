@@ -101,3 +101,63 @@ def test_r3ak_registered_as_parity_oracle(ray_session):
     n = "scanned_page_text"
     assert n in qs and n in osql and n in parity_oracle_names()
     assert 50 <= names.index(n) <= len(osql)
+
+
+def test_skewed_page_text_matches_duckdb(ray_session):
+    from text_extraction_ray.pipelines.queries_r3ak import (
+        parity_sql_r3ak, q_scanned_page_text_skewed)
+
+    got = q_scanned_page_text_skewed(SF_DIR).to_pandas()
+    want = _duck(SF_DIR, parity_sql_r3ak()["scanned_page_text_skewed"])
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert _mset(got) == _mset(want)
+
+
+def test_page_shear_estimator_recovers_every_shear():
+    """Every planted shear in ±MAX_SHEAR must be read exactly; the
+    estimator may pick an offset-equivalent shear, so the pin is the
+    TEXT, not the shear value."""
+    import pyarrow as pa
+
+    from text_extraction_ray.functions.table_image import (
+        MAX_SHEAR, DeskewingPageTextExtractor, page_line_text, page_lines,
+        scan_shear, synth_page_image_skewed_batch)
+
+    ids, seen = [], set()
+    i = 0
+    while len(seen) < 2 * MAX_SHEAR + 1:
+        s = scan_shear(i)
+        if s not in seen:
+            seen.add(s)
+            ids.append(i)
+        i += 1
+    out = DeskewingPageTextExtractor()(
+        synth_page_image_skewed_batch(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64())})))
+    got = {}
+    for d, l, t in zip(out.column("doc_id").to_pylist(),
+                       out.column("line").to_pylist(),
+                       out.column("text").to_pylist()):
+        got[(d, l)] = t
+    for d in ids:
+        for l in range(page_lines(d)):
+            assert got[(d, l)] == page_line_text(d, l), (d, scan_shear(d))
+
+
+def test_shear_margin_survives_the_noise_lucky_candidate():
+    """Doc 4263 (true shear 0) is the recorded counterexample where a
+    damaging shear out-scored the truth by 1; the margin rule must read
+    it exactly."""
+    import numpy as np
+
+    from text_extraction_ray.functions.table_image import (
+        DeskewingPageTextExtractor, page_line_text, page_lines,
+        render_page_image_skewed)
+
+    ex = DeskewingPageTextExtractor()
+    w, h, gray = render_page_image_skewed(4263)
+    dark = np.frombuffer(gray, dtype=np.uint8).reshape(h, w) < 128
+    lines = ex._read_page(ex._page_dist(dark))
+    assert lines == [page_line_text(4263, l)
+                     for l in range(page_lines(4263))]

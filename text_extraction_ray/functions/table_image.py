@@ -751,3 +751,93 @@ class PageTextExtractor(TableStringExtractor):
             "line": pa.array(o_line, type=pa.int64()),
             "text": pa.array(o_text, type=pa.string()),
         })
+
+
+# --- skewed free-text page scans (round 3 batch AK+) ------------------------
+
+def render_page_image_skewed(doc_id: int) -> tuple[int, int, bytes]:
+    """The free-text page scan run through the same integer ROW SHEAR
+    as the skewed tables (s = scan_shear(doc_id)), exactly invertible."""
+    w, h, gray = render_page_image(doc_id)
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+    s = scan_shear(doc_id)
+    out = np.full((h, w + abs(s)), 255, dtype=np.uint8)
+    base = abs(s) if s < 0 else 0
+    for y in range(h):
+        off = base + round(s * y / (h - 1))
+        out[y, off:off + w] = img[y]
+    return out.shape[1], h, out.tobytes()
+
+
+def synth_page_image_skewed_batch(batch: pa.Table,
+                                  id_col: str = "doc_id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    media, mtype = [], []
+    for i in ids:
+        w, h, gray = render_page_image_skewed(i)
+        mt = (BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, GIF_MEDIA_TYPE)[i % 3]
+        media.append(_encode_any(mt, w, h, gray))
+        mtype.append(mt)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(media, type=pa.binary()),
+        "media_type": pa.array(mtype, type=pa.string()),
+    })
+
+
+class DeskewingPageTextExtractor(PageTextExtractor):
+    """Skew-tolerant page reader.  A free-text page has NO rulings, so
+    the table family's sharpest-vertical-ruling deskew signal does not
+    exist; the page's own GLYPH MATCH QUALITY is the signal instead: for
+    each candidate shear in ±MAX_SHEAR (|s| order), unshear and sum
+    (ACCEPT+1 − d) over all match windows within _CHAR_ACCEPT.  A raw
+    anchor COUNT is too blunt (row offsets round(s·y/(h−1)) coincide
+    across neighboring shears for many rows, so wrong shears keep most
+    anchors and occasionally out-count the truth, misreading glyph
+    edges — observed 22/4500 lines); the quality sum drops whenever ANY
+    glyph row is misaligned, so the shear that restores every glyph row
+    wins even when several shears are count-tied.  Switching requires
+    beating the incumbent by _SHEAR_MARGIN (smallest consistent |s|
+    otherwise): shears that restore every glyph row score within ±1-2
+    of each other (noise pixels drifting across window edges), while a
+    shear that damages even one glyph loses far more — without the
+    margin, a noise-lucky +1 at a damaging shear misread 1/27000 lines
+    (doc 4263: q 322 at s=-4 vs 321 at the true s=0).
+    2·MAX_SHEAR+1 dist-tensor passes over a small page — bounded,
+    deterministic, no rotation resampling."""
+
+    _SHEAR_MARGIN = 4
+
+    def _page_dist(self, dark: np.ndarray) -> np.ndarray:
+        best_s, best_q, best_dist = 0, -1, None
+        for s in sorted(range(-MAX_SHEAR, MAX_SHEAR + 1), key=abs):
+            un = _unshear(dark, s) if s else dark
+            dist = self._dist_tensor(un[None])[0]
+            dmin = dist.min(axis=2)
+            m = dmin <= self._CHAR_ACCEPT
+            q = int(((self._CHAR_ACCEPT + 1) - dmin[m]).sum())
+            if q > best_q + (self._SHEAR_MARGIN if best_dist is not None
+                             else 0):
+                best_s, best_q, best_dist = s, q, dist
+        self.last_shear = best_s          # introspection for tests
+        return best_dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        media = batch.column("media").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        o_id, o_line, o_text = [], [], []
+        for i, m, mt in zip(ids, media, mtypes):
+            w, h, gray = _decode_any(mt, m)
+            dark = (np.frombuffer(gray, dtype=np.uint8)[:w * h]
+                    .reshape(h, w) < 128)
+            dist = self._page_dist(dark)
+            for line, text in enumerate(self._read_page(dist)):
+                o_id.append(i)
+                o_line.append(line)
+                o_text.append(text)
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "line": pa.array(o_line, type=pa.int64()),
+            "text": pa.array(o_text, type=pa.string()),
+        })

@@ -810,7 +810,7 @@ def queries() -> dict:
     # Driver-window block (first 50), byte-identical to rounds 1-3's
     # recorded layout: the 49 core-oracled queries in registration order,
     # then extract_pages (the flagship extraction pipeline, whose rows-only
-    # driver row is its only external record).  The 60 batch-parity queries
+    # driver row is its only external record).  The 61 batch-parity queries
     # gained driver-facing SQL twins in round 3 (merged below) but sit just
     # past the window so the recorded 50 rows never change shape; if the
     # driver's cap ever grows, they upgrade from "no row" straight to the
@@ -887,7 +887,7 @@ def parity_oracle_names() -> frozenset:
 
 
 def _parity_sql_merged() -> dict[str, str]:
-    """Union of every batch module's parity SQL (60 queries, round 3).
+    """Union of every batch module's parity SQL (61 queries, round 3).
     Collisions are a bug: each batch owns its query names."""
     from .queries_r3 import parity_sql_r3
     from .queries_r3b import parity_sql_r3b

@@ -46,6 +46,23 @@ def q_scanned_page_text(sf_dir: str) -> ray.data.Dataset:
                          batch_size=64, **_PYA))
 
 
+def q_scanned_page_text_skewed(sf_dir: str) -> ray.data.Dataset:
+    """Crooked-flatbed variant: pages carry a planted ±MAX_SHEAR row
+    shear; the reader estimates it from glyph MATCH QUALITY (pages have
+    no rulings for the table family's sharpness signal), unshears, and
+    reads with the standard machinery.  Same planted content as the
+    straight pages, so it shares SQL_SCANNED_PAGE_TEXT (the
+    cust_with_urgent_bloom precedent: one oracle, two physical plans).
+    Exhaustive sweep ids 0-5999: 0/27 000 lines wrong."""
+    from ..functions.table_image import (DeskewingPageTextExtractor,
+                                         synth_page_image_skewed_batch)
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(synth_page_image_skewed_batch, **_PYA)
+            .map_batches(DeskewingPageTextExtractor, concurrency=(1, 8),
+                         batch_size=64, **_PYA))
+
+
 SQL_SCANNED_PAGE_TEXT = """
 WITH l AS (
   SELECT doc_id,
@@ -70,12 +87,14 @@ FROM v GROUP BY doc_id, line
 def queries_r3ak() -> dict:
     return {
         "scanned_page_text": q_scanned_page_text,
+        "scanned_page_text_skewed": q_scanned_page_text_skewed,
     }
 
 
 def parity_sql_r3ak() -> dict[str, str]:
-    """DuckDB twin — driver oracle via the batch-parity merge AND the
+    """DuckDB twins — driver oracles via the batch-parity merge AND the
     pytest parity gate in tests/test_queries_r3ak.py."""
     return {
         "scanned_page_text": SQL_SCANNED_PAGE_TEXT,
+        "scanned_page_text_skewed": SQL_SCANNED_PAGE_TEXT,
     }
