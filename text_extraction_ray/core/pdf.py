@@ -668,7 +668,11 @@ def _scanned_regions(payload: bytes,
     'table' (cells \\t, rows \\n — the vector-ruling grid shape) when
     the cell-grid reader finds a ruled table, else 'text' (lines joined
     by \\n) when the page-OCR reader finds free-text words — the
-    corpus-v5 scanned-document population with BOTH page types.
+    corpus-v5 scanned-document population with BOTH page types; since
+    v=6 both readers are the DESKEWING variants, so crooked flatbed
+    scans (planted ±MAX_SHEAR row shear) read exactly too — on straight
+    scans each estimator locks shear 0 (strict-margin tie-break) and
+    reads identically to the straight readers.
 
     Both OCR readers (functions/table_image.py) are built once per
     process and cached — actor-resident state, same discipline as the
@@ -680,9 +684,9 @@ def _scanned_regions(payload: bytes,
     if not imgs:
         return []
     if _SCAN_READER is None:
-        from ..functions.table_image import TableImageExtractor
+        from ..functions.table_image import DeskewingTableExtractor
 
-        _SCAN_READER = TableImageExtractor()
+        _SCAN_READER = DeskewingTableExtractor()
     out: list[tuple[str, str]] = []
     for w, h, gray in imgs:
         if w <= 0 or h <= 0 or len(gray) < w * h:
@@ -708,12 +712,13 @@ def _scanned_regions(payload: bytes,
             if h < GLYPH_H or w < GLYPH_W:
                 continue
             if _PAGE_READER is None:
-                from ..functions.table_image import PageTextExtractor
+                from ..functions.table_image import (
+                    DeskewingPageTextExtractor)
 
-                _PAGE_READER = PageTextExtractor()
+                _PAGE_READER = DeskewingPageTextExtractor()
             dark = (np.frombuffer(gray, dtype=np.uint8)[:w * h]
                     .reshape(h, w) < 128)
-            dist = _PAGE_READER._dist_tensor(dark[None])[0]
+            dist = _PAGE_READER._page_dist(dark)
             lines = [ln for ln in _PAGE_READER._read_page(dist) if ln]
         except Exception:
             lines = []

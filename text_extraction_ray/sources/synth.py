@@ -195,20 +195,33 @@ _PDF_UNI_LINES = [
 
 def _pdf_payload(rng: random.Random) -> bytes:
     if rng.random() < 0.25:
-        # scanned-document PDF (corpus v=4, widened in v=5): no text
-        # runs at all — each page is an embedded /XObject /Image of a
-        # noisy scan, either a ruled TABLE (cell-grid reader) or, since
-        # v=5, a FREE-TEXT page of numeric words (page-OCR reader) —
-        # exactly the crawl population the reference's OCR handled;
-        # extract_pdf routes each image by what the readers detect
+        # scanned-document PDF (corpus v=4, widened in v=5/v=6): no
+        # text runs at all — each page is an embedded /XObject /Image
+        # of a noisy scan: a ruled TABLE (cell-grid reader) or a
+        # FREE-TEXT page of numeric words (page-OCR reader, v=5), and
+        # since v=6 ~30% of either kind carry a planted ±MAX_SHEAR row
+        # shear (the crooked-flatbed defect) that the route's DESKEWING
+        # readers estimate and invert — exactly the crawl population
+        # the reference's OCR handled; extract_pdf routes each image by
+        # what the readers detect
         from ..core.pdf_write import build_image_pdf
         from ..functions.table_image import (render_page_image,
-                                             render_table_image)
+                                             render_page_image_skewed,
+                                             render_table_image,
+                                             render_table_image_skewed)
 
-        return build_image_pdf([
-            (render_page_image if rng.random() < 0.4
-             else render_table_image)(rng.randrange(1 << 20))
-            for _ in range(rng.randint(1, 2))])
+        def scan_image():
+            sid = rng.randrange(1 << 20)
+            page = rng.random() < 0.4
+            skew = rng.random() < 0.3
+            fn = (render_page_image_skewed if page and skew
+                  else render_page_image if page
+                  else render_table_image_skewed if skew
+                  else render_table_image)
+            return fn(sid)
+
+        return build_image_pdf([scan_image()
+                                for _ in range(rng.randint(1, 2))])
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
     if rng.random() < 0.35:
@@ -329,7 +342,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=5"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=6"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
