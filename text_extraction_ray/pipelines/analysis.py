@@ -195,9 +195,12 @@ class BlockExplainer:
 
 
 def explain_blocks(pages_ds: ray.data.Dataset,
-                   concurrency=(1, 8), batch_size: int = 64
+                   concurrency=None, batch_size: int = 64
                    ) -> ray.data.Dataset:
     """Per-block debug table over a PAGES dataset (url, html, lang cols)."""
+    from .extraction import default_concurrency
+
+    concurrency = concurrency or default_concurrency()
     return pages_ds.map_batches(
         BlockExplainer, concurrency=concurrency, batch_size=batch_size,
         batch_format="pyarrow", zero_copy_batch=True)

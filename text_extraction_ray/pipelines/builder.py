@@ -99,6 +99,7 @@ def _register_builtins() -> None:
         FrameSampler,
     )
     from ..functions.similarity import lsh_neardup_pairs
+    from .extraction import default_concurrency
 
     register_stage("exact_dedup", exact_dedup)
     register_stage("minhash_pairs", minhash_lsh_pairs)
@@ -106,22 +107,26 @@ def _register_builtins() -> None:
     register_stage("lsh_neardup", lsh_neardup_pairs)
     register_stage(
         "media_decode",
-        lambda ds, concurrency=(1, 4), batch_size=16: ds.map_batches(
-            FakeMediaDecoder, concurrency=concurrency, batch_size=batch_size,
+        lambda ds, concurrency=None, batch_size=16: ds.map_batches(
+            FakeMediaDecoder,
+            concurrency=concurrency or default_concurrency(),
+            batch_size=batch_size,
             batch_format="pyarrow", zero_copy_batch=True))
     register_stage(
         "media_resize",
-        lambda ds, max_dim=16, concurrency=(1, 4), batch_size=16:
+        lambda ds, max_dim=16, concurrency=None, batch_size=16:
         ds.map_batches(
             FakeImageResizer, fn_constructor_args=(max_dim,),
-            concurrency=concurrency, batch_size=batch_size,
+            concurrency=concurrency or default_concurrency(),
+            batch_size=batch_size,
             batch_format="pyarrow", zero_copy_batch=True))
     register_stage(
         "frame_sample",
-        lambda ds, stride=4, concurrency=(1, 4), batch_size=8:
+        lambda ds, stride=4, concurrency=None, batch_size=8:
         ds.map_batches(
             FrameSampler, fn_constructor_args=(stride,),
-            concurrency=concurrency, batch_size=batch_size,
+            concurrency=concurrency or default_concurrency(),
+            batch_size=batch_size,
             batch_format="pyarrow", zero_copy_batch=True))
 
 

@@ -45,6 +45,8 @@ from ..functions.textstats import (
     token_count_batch,
 )
 
+from .extraction import default_concurrency as _dconc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -569,7 +571,7 @@ def q_multimodal(sf_dir: str) -> ray.data.Dataset:
     media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         synth_media_batch, **_PYA)
     return media.map_batches(
-        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -582,10 +584,10 @@ def q_media_resize(sf_dir: str) -> ray.data.Dataset:
     media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         synth_media_batch, **_PYA)
     resized = media.map_batches(
-        FakeImageResizer, concurrency=(1, 4), batch_size=16,
+        FakeImageResizer, concurrency=_dconc(), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
     return resized.map_batches(
-        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -597,10 +599,10 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
     video = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
         synth_video_batch, **_PYA)
     frames = video.map_batches(
-        FrameSampler, concurrency=(1, 4), batch_size=8,
+        FrameSampler, concurrency=_dconc(), batch_size=8,
         batch_format="pyarrow", zero_copy_batch=True)
     return frames.map_batches(
-        FakeMediaDecoder, concurrency=(1, 4), batch_size=16,
+        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -661,7 +663,7 @@ def q_explain_blocks(sf_dir: str) -> ray.data.Dataset:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
-    blocks = explain_blocks(read_pages(corpus), concurrency=(1, 8))
+    blocks = explain_blocks(read_pages(corpus))
     return blocks.select_columns(
         ["url", "block_id", "tag_path", "n_chars", "link_density",
          "stop_density", "cls"])
@@ -679,7 +681,7 @@ def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
     out = extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
-                        mode="single_pass", concurrency=(1, 8), batch_size=32)
+                        mode="single_pass", batch_size=32)
     return out.select_columns(
         ["url", "doc_type", "lang", "parse_ok", "n_blocks_kept",
          "n_blocks_dropped"])

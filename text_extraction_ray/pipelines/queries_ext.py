@@ -677,7 +677,7 @@ def q_extract_embed_neardup(sf_dir: str) -> ray.data.Dataset:
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
     out = extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
-                        mode="single_pass", concurrency=(1, 8), batch_size=32)
+                        mode="single_pass", batch_size=32)
 
     def keyed(b: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(

@@ -15,6 +15,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -190,7 +192,7 @@ def q_audio_features(sf_dir: str) -> ray.data.Dataset:
 
     return (_read(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_audio_batch, **_PYA)
-            .map_batches(AudioFeaturizer, concurrency=(1, 4), batch_size=64,
+            .map_batches(AudioFeaturizer, concurrency=_conc(), batch_size=64,
                          **_PYA))
 
 

@@ -33,6 +33,8 @@ from ray.data.aggregate import Min
 
 from ..functions.embed import embed_batch, embed_text
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 HN_QUERIES = 20
@@ -105,7 +107,7 @@ def _extracted(sf_dir: str) -> ray.data.Dataset:
 
     return (dedup_keep_latest(
                 read_pages(_linked_corpus(sf_dir))
-                .map_batches(Extractor, concurrency=(1, 4), **_PYA))
+                .map_batches(Extractor, concurrency=_conc(), **_PYA))
             .filter(expr="parse_ok == True")
             .filter(expr="extracted_text != ''")
             .select_columns(["url", "extracted_text"])

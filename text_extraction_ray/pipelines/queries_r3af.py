@@ -21,6 +21,8 @@ from ..functions.table_image import (TableImageExtractor,
                                      synth_table_image2_batch,
                                      synth_table_image_batch)
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -29,7 +31,7 @@ def q_image_tables(sf_dir: str) -> ray.data.Dataset:
 
     return (read_table(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_table_image_batch, **_PYA)
-            .map_batches(TableImageExtractor, concurrency=(1, 4),
+            .map_batches(TableImageExtractor, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 
@@ -45,7 +47,7 @@ def q_image_tables_text(sf_dir: str) -> ray.data.Dataset:
 
     return (read_table(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_table_image2_batch, **_PYA)
-            .map_batches(TableStringExtractor, concurrency=(1, 4),
+            .map_batches(TableStringExtractor, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 
@@ -74,7 +76,7 @@ def q_image_tables_skewed(sf_dir: str) -> ray.data.Dataset:
 
     return (read_table(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_table_image_skewed_batch, **_PYA)
-            .map_batches(DeskewingTableExtractor, concurrency=(1, 4),
+            .map_batches(DeskewingTableExtractor, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 

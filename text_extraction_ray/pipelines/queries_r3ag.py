@@ -23,6 +23,8 @@ import ray.data
 
 from ..functions.table_image import TableImageExtractor, render_table_image
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -84,7 +86,7 @@ def q_scanned_pdf_tables(sf_dir: str) -> ray.data.Dataset:
 
     return (read_table(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_scanned_pdf_batch, **_PYA)
-            .map_batches(ScannedPdfTableReader, concurrency=(1, 4),
+            .map_batches(ScannedPdfTableReader, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 

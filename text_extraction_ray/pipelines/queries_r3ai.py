@@ -117,7 +117,7 @@ def q_cdx_selective_extract(sf_dir: str) -> ray.data.Dataset:
            .drop_columns(["host_num", "surt"]))
     pages = (sel.map_batches(fetch_cdx_members, **_PYA)
              .drop_columns(["bytes_read"]))
-    out = extract_pages(pages, mode="single_pass", concurrency=(1, 8),
+    out = extract_pages(pages, mode="single_pass",
                         batch_size=32)
     return out.map_batches(_digest_out, **_PYA)
 
@@ -169,7 +169,7 @@ def q_cdx_point_lookup(sf_dir: str) -> ray.data.Dataset:
     pages = (ray.data.from_arrow(rows.drop_columns(["surt"]))
              .map_batches(fetch_cdx_members, **_PYA)
              .drop_columns(["bytes_read"]))
-    out = extract_pages(pages, mode="single_pass", concurrency=(1, 4),
+    out = extract_pages(pages, mode="single_pass",
                         batch_size=32)
     return out.map_batches(_digest_out, **_PYA)
 

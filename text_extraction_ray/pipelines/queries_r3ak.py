@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import ray.data
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -42,7 +44,7 @@ def q_scanned_page_text(sf_dir: str) -> ray.data.Dataset:
 
     return (_read(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_page_image_batch, **_PYA)
-            .map_batches(PageTextExtractor, concurrency=(1, 8),
+            .map_batches(PageTextExtractor, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 
@@ -59,7 +61,7 @@ def q_scanned_page_text_skewed(sf_dir: str) -> ray.data.Dataset:
 
     return (_read(sf_dir, "documents", ["doc_id"])
             .map_batches(synth_page_image_skewed_batch, **_PYA)
-            .map_batches(DeskewingPageTextExtractor, concurrency=(1, 8),
+            .map_batches(DeskewingPageTextExtractor, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 

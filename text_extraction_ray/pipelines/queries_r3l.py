@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import ray.data
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 
@@ -34,7 +36,7 @@ def q_media_dhash(sf_dir: str) -> ray.data.Dataset:
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(synth_media_batch, **_PYA)
-            .map_batches(ImageDHasher, concurrency=(1, 4),
+            .map_batches(ImageDHasher, concurrency=_conc(),
                          batch_size=64, **_PYA))
 
 

@@ -49,7 +49,7 @@ def _extract_out(sf_dir: str):
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
     return extract_pages(read_pages(corpus, columns=EXTRACT_COLUMNS),
-                         mode="single_pass", concurrency=(1, 8),
+                         mode="single_pass",
                          batch_size=32)
 
 

@@ -32,6 +32,8 @@ from ray.data.aggregate import Count, Sum
 from ..functions.bpe import BpeEncoder, corpus_word_freq, train_bpe
 from ..functions.nbayes import NBScorer, train_nb
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 BPE_MERGES = 64
@@ -66,7 +68,7 @@ def q_pages_nb_confusion(sf_dir: str) -> ray.data.Dataset:
     corpus = os.path.join(tempfile.gettempdir(), f"tx_pages_{tag}")
     gen_corpus(corpus, 500, seed=42, n_shards=8)
     out = (read_pages(corpus)
-           .map_batches(Extractor, concurrency=(1, 4), **_PYA)
+           .map_batches(Extractor, concurrency=_conc(), **_PYA)
            .filter(expr="parse_ok == True")
            .filter(expr="extracted_text != ''")
            .select_columns(["lang", "extracted_text"])
@@ -76,7 +78,7 @@ def q_pages_nb_confusion(sf_dir: str) -> ray.data.Dataset:
                 NBScorer,
                 fn_constructor_kwargs={"model_ref": model_ref,
                                        "text_col": "extracted_text"},
-                concurrency=(1, 4), **_PYA)
+                concurrency=_conc(), **_PYA)
             .groupby(["label", "pred"])
             .aggregate(Count(alias_name="n")))
 
@@ -88,7 +90,7 @@ def q_docs_bpe_stats(sf_dir: str) -> ray.data.Dataset:
     stats = (docs.map_batches(
                  BpeEncoder,
                  fn_constructor_kwargs={"merges_ref": merges_ref},
-                 concurrency=(1, 4), **_PYA)
+                 concurrency=_conc(), **_PYA)
              .groupby("lang")
              .aggregate(Count(alias_name="n_docs"),
                         Sum("n_words", alias_name="n_words"),

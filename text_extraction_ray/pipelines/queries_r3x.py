@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .extraction import default_concurrency as _conc
+
 _PYA = {"batch_format": "pyarrow"}
 
 KMV_K = 256
@@ -91,10 +93,10 @@ def q_snapshot_diff(sf_dir: str) -> pa.Table:
     # WITHIN a generation before the generations are compared
     old_out = dedup_keep_latest(extract_pages(
         ray.data.from_arrow(old_pages), mode="single_pass",
-        concurrency=(1, 4), batch_size=32))
+        concurrency=_conc(), batch_size=32))
     new_out = dedup_keep_latest(extract_pages(
         ray.data.from_arrow(new_pages), mode="single_pass",
-        concurrency=(1, 4), batch_size=32))
+        concurrency=_conc(), batch_size=32))
     joined = (_url_sha(old_out, "sha_old")
               .join(_url_sha(new_out, "sha_new"),
                     join_type="full_outer", num_partitions=4,

@@ -35,7 +35,7 @@ from .extraction import extract_pages
 
 def refresh_extraction(old_out: ray.data.Dataset,
                        new_pages: ray.data.Dataset,
-                       concurrency=(1, 8), batch_size: int = 64,
+                       concurrency=None, batch_size: int = 64,
                        ) -> tuple[ray.data.Dataset, int]:
     """Delta-extract ``new_pages`` against a previous OUT dataset."""
     # 1. watermark: latest extracted warc_ts per url (tiny: 2 columns)
