@@ -289,3 +289,20 @@ def test_grouped_hll_accuracy(ray_session):
         "event_type", "user_id").to_pandas()
         .set_index("event_type")["n_distinct_approx"])
     assert (got.sort_index() == got2.sort_index()).all()
+
+
+def test_dedup_apply_join_path_equals_broadcast(ray_session, monkeypatch):
+    """VERDICT r3 #1: forcing DROP_BROADCAST_CAP to 0 exercises the
+    distributed left_anti join fallback; it must return exactly the
+    broadcast path's rows."""
+    import text_extraction_ray.pipelines.queries_r3 as R3
+
+    base = (R3.q_docs_dedup_apply(SF_DIR).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(R3, "DROP_BROADCAST_CAP", 0)
+    joined = (R3.q_docs_dedup_apply(SF_DIR).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    cols = sorted(base.columns)
+    assert cols == sorted(joined.columns)
+    pd.testing.assert_frame_equal(base[cols], joined[cols],
+                                  check_dtype=False)

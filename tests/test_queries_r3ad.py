@@ -82,3 +82,42 @@ def test_multi_source_union_formats_agree():
     assert list(got.source_format) == ["csv", "jsonl", "parquet"]
     assert (got.n_docs == n).all()
     assert (got.total_chars == chars).all()
+
+
+def _export_doc_ids(root: str) -> list[tuple[int, int]]:
+    import pyarrow.parquet as pq
+
+    out = []
+    data = os.path.join(root, "data")
+    for d in sorted(os.listdir(data)):
+        if not d.startswith("shard="):
+            continue
+        k = int(d.split("=")[1])
+        t = pq.read_table(os.path.join(data, d), columns=["doc_id"])
+        out.extend((k, i) for i in sorted(t.column("doc_id").to_pylist()))
+    return sorted(out)
+
+
+def test_training_set_join_path_equals_broadcast(ray_session, monkeypatch):
+    """VERDICT r3 #1: forcing SURVIVOR_BROADCAST_CAP to 0 exercises the
+    distributed left_semi keep-list join; manifest AND the exported
+    (shard, doc_id) layout must match the broadcast path exactly."""
+    import shutil
+    import tempfile
+
+    import text_extraction_ray.pipelines.queries_r3ad as AD
+
+    root = os.path.join(tempfile.gettempdir(), "tx_trainset_sf0.001")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (AD.q_make_training_set(SF_DIR).to_pandas()
+            .sort_values("shard").reset_index(drop=True))
+    base_ids = _export_doc_ids(root)
+
+    shutil.rmtree(root, ignore_errors=True)
+    monkeypatch.setattr(AD, "SURVIVOR_BROADCAST_CAP", 0)
+    joined = (AD.q_make_training_set(SF_DIR).to_pandas()
+              .sort_values("shard").reset_index(drop=True))
+    joined_ids = _export_doc_ids(root)
+
+    pd.testing.assert_frame_equal(base, joined, check_dtype=False)
+    assert base_ids == joined_ids and len(base_ids) > 0

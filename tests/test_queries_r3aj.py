@@ -73,3 +73,15 @@ def test_r3aj_registered_as_parity_oracle(ray_session):
     n = "docs_leakfree_split"
     assert n in qs and n in osql and n in parity_oracle_names()
     assert 50 <= names.index(n) <= len(osql)
+
+
+def test_leakfree_split_join_path_equals_broadcast(ray_session, monkeypatch):
+    """VERDICT r3 #1: forcing LABEL_BROADCAST_CAP to 0 exercises the
+    distributed left_outer label-attach join; identical split table."""
+    import text_extraction_ray.pipelines.queries_r3aj as AJ
+
+    base = AJ.q_docs_leakfree_split(SF_DIR).to_pandas()
+    monkeypatch.setattr(AJ, "LABEL_BROADCAST_CAP", 0)
+    joined = AJ.q_docs_leakfree_split(SF_DIR).to_pandas()
+    assert sorted(base.columns) == sorted(joined.columns)
+    assert _mset(base) == _mset(joined)

@@ -28,13 +28,23 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
 
 # --- G13: near-dup keep-list application -------------------------------------
 
+# Drop-set ids broadcast below this; above it the apply step degrades to
+# a distributed left_outer anti-join (queries_r3t.py span-dedup template:
+# at crawl scale the duplicated minority is ~30-50% of docs, an O(corpus)
+# object the driver must never hold).  Path equality is pinned by
+# tests/test_queries_r3.py with the cap forced to 0.
+DROP_BROADCAST_CAP = 2_000_000
+
+
 def q_docs_dedup_apply(sf_dir: str) -> ray.data.Dataset:
     """The step that makes dedup USEFUL: apply the cluster keep-list to the
     corpus — keep every doc that is its cluster's head (min member) or in
-    no cluster at all.  The drop-set is the bounded output of the oracled
-    neardup_clusters operator (pairs are LSH/threshold-capped, clusters
-    driver-bounded by construction), broadcast once via ray.put; the
-    corpus scan filters vectorized per batch and never shuffles."""
+    no cluster at all.  The drop-set (non-head members of the oracled
+    neardup_clusters table) is broadcast once via ray.put when it fits
+    under DROP_BROADCAST_CAP so the corpus scan filters vectorized per
+    batch with no exchange; above the cap it becomes a Dataset and the
+    filter is a distributed left_outer join + null-keep — the capped
+    broadcast → join fallback discipline (VERDICT r3 #1)."""
     import pyarrow.compute as pc
 
     from .queries_ext import q_neardup_clusters
@@ -43,15 +53,23 @@ def q_docs_dedup_apply(sf_dir: str) -> ray.data.Dataset:
     drop = clusters.filter(
         pc.invert(pc.equal(clusters.column("doc_id"),
                            clusters.column("cluster_id"))))
-    drop_ref = ray.put(drop.column("doc_id").combine_chunks())
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
-    def keep(b: pa.Table) -> pa.Table:
-        drop_ids = ray.get(drop_ref)
-        mask = pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_ids))
-        return b.filter(mask)
+    if drop.num_rows <= DROP_BROADCAST_CAP:
+        drop_ref = ray.put(drop.column("doc_id").combine_chunks())
 
-    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]
-                 ).map_batches(keep, **_PYA)
+        def keep(b: pa.Table) -> pa.Table:
+            drop_ids = ray.get(drop_ref)
+            mask = pc.invert(
+                pc.is_in(b.column("doc_id"), value_set=drop_ids))
+            return b.filter(mask)
+
+        return docs.map_batches(keep, **_PYA)
+
+    # join fallback: ship only the 8-byte ids through the exchange
+    drop_ds = ray.data.from_arrow(drop.select(["doc_id"]))
+    return docs.join(drop_ds, join_type="left_anti", num_partitions=8,
+                     on=("doc_id",))
 
 
 # pytest parity twin (NOT a driver oracle — window allocation, see module

@@ -5,9 +5,10 @@ source union.
   corpus-curation funnel's FINAL survivor set (quality → exact-dedup
   keeper → decontaminated → temperature-resampled; same rules as
   ``corpus_curation``, equivalence pinned in pytest against that
-  query AND its DuckDB twin's s4 stage) is applied as a broadcast
-  keep-list (the docs_dedup_apply discipline — survivor ids are the
-  post-curation minority), survivors are hash-assigned to shards
+  query AND its DuckDB twin's s4 stage) is applied as a keep-list —
+  broadcast under SURVIVOR_BROADCAST_CAP, distributed left_semi join
+  above it (survivors are the post-curation MAJORITY, so the id array
+  is O(corpus); VERDICT r3 #1) — survivors are hash-assigned to shards
   (splitmix64(doc_id) % n) and written as PARTITIONED parquet — one
   ``shard=k/`` directory per shard so a failed export resumes by
   skipping finished partitions — and the returned manifest
@@ -46,13 +47,15 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return read_table(sf_dir, table, columns)
 
 
-def curation_survivor_ids(sf_dir: str) -> np.ndarray:
-    """doc_ids surviving the full curation chain — the leaner
-    flags-only replay of q_corpus_curation's plan (same building
+def curation_survivors(sf_dir: str) -> ray.data.Dataset:
+    """doc_ids surviving the full curation chain, AS A DATASET — the
+    leaner flags-only replay of q_corpus_curation's plan (same building
     blocks: quality_batch, encoded min-keeper, broadcast benchmark
-    grams, batch-P thresholds).  Equivalence with the funnel's
-    lang_resampled count and the DuckDB twin's s4 set is pinned in
-    tests/test_queries_r3ad.py."""
+    grams, batch-P thresholds).  Never materializes the survivor set on
+    the driver: survivors are the post-curation MAJORITY of the corpus,
+    so the apply step must join, not broadcast, above a cap (VERDICT r3
+    #1).  Equivalence with the funnel's lang_resampled count and the
+    DuckDB twin's s4 set is pinned in tests/test_queries_r3ad.py."""
     from ..functions.textstats import quality_batch
     from .queries_r3p import lang_keep_thresholds
     from .queries_r3r import DECONTAM_NGRAM, _bench_gram_set
@@ -131,40 +134,68 @@ def curation_survivor_ids(sf_dir: str) -> np.ndarray:
         return pa.table({"doc_id": pa.array(
             np.array(keep, dtype=np.int64))})
 
-    out = (keepers.map_batches(survivors, **_PYA).to_pandas()
-           ["doc_id"].to_numpy())
+    return keepers.map_batches(survivors, **_PYA)
+
+
+def curation_survivor_ids(sf_dir: str) -> np.ndarray:
+    """Driver-side survivor id array — ONLY safe below
+    SURVIVOR_BROADCAST_CAP (used by the broadcast fast path and the
+    pytest parity gates at test scale)."""
+    out = curation_survivors(sf_dir).to_pandas()["doc_id"].to_numpy()
     return np.sort(out.astype(np.int64))
+
+
+# Survivor ids broadcast below this; above it the keep-list apply is a
+# distributed inner (semi) join — survivors are the MAJORITY of the
+# corpus post-curation, the clearest O(corpus) driver object of the
+# three VERDICT-r3 #1 sites.  Path equality pinned in
+# tests/test_queries_r3ad.py with the cap forced to 0.
+SURVIVOR_BROADCAST_CAP = 2_000_000
+
+
+def _tokens_and_shard(b: pa.Table) -> pa.Table:
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = [len(t.split()) for t in b.column("text").to_pylist()]
+    b = b.append_column(
+        "n_tokens", pa.array(np.array(toks, dtype=np.int64)))
+    return b.append_column(
+        "shard", pa.array(bucket_of(ids, EXPORT_SHARDS)))
 
 
 def q_make_training_set(sf_dir: str) -> ray.data.Dataset:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(tempfile.gettempdir(), f"tx_trainset_{tag}")
     stamp = os.path.join(root, "_STAMP")
-    keep = curation_survivor_ids(sf_dir)
-    want = f"v=1 n={keep.size} shards={EXPORT_SHARDS}"
+    keep_ds = curation_survivors(sf_dir).materialize()
+    n_keep = keep_ds.count()
+    want = f"v=1 n={n_keep} shards={EXPORT_SHARDS}"
     if not (os.path.exists(stamp) and open(stamp).read() == want):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
-        keep_ref = ray.put(keep)
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
-        def select(b: pa.Table) -> pa.Table:
-            ks = ray.get(keep_ref)
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(ks, ids)
-            idx[idx == ks.size] = 0
-            b = b.filter(pa.array(ks[idx] == ids))
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            toks = [len(t.split()) for t in
-                    b.column("text").to_pylist()]
-            b = b.append_column(
-                "n_tokens", pa.array(np.array(toks, dtype=np.int64)))
-            return b.append_column(
-                "shard", pa.array(bucket_of(ids, EXPORT_SHARDS)))
+        if n_keep <= SURVIVOR_BROADCAST_CAP:
+            keep = np.sort(keep_ds.to_pandas()["doc_id"]
+                           .to_numpy().astype(np.int64))
+            keep_ref = ray.put(keep)
 
-        (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
-         .map_batches(select, **_PYA)
-         .write_parquet(os.path.join(root, "data"),
-                        partition_cols=["shard"]))
+            def select(b: pa.Table) -> pa.Table:
+                ks = ray.get(keep_ref)
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(ks, ids)
+                idx[idx == ks.size] = 0
+                return _tokens_and_shard(
+                    b.filter(pa.array(ks[idx] == ids)))
+
+            selected = docs.map_batches(select, **_PYA)
+        else:
+            # join fallback: distributed semi join on the 8-byte ids
+            selected = (docs.join(keep_ds, join_type="left_semi",
+                                  num_partitions=8, on=("doc_id",))
+                        .map_batches(_tokens_and_shard, **_PYA))
+
+        selected.write_parquet(os.path.join(root, "data"),
+                               partition_cols=["shard"])
         with open(stamp, "w") as f:
             f.write(want)
     return (ray.data.read_parquet(os.path.join(root, "data"))

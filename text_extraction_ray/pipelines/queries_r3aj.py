@@ -33,6 +33,14 @@ _PYA = {"batch_format": "pyarrow"}
 
 TEST_HEX = ("0", "1", "2")     # first md5 hex digit -> test (3/16)
 
+# Clustered-label rows broadcast below this; above it the label attach
+# degrades to a distributed left_outer join (the capped broadcast → join
+# fallback discipline, VERDICT r3 #1: the map is bounded only by the
+# number of CLUSTERED docs — at crawl scale a corpus-proportional
+# object).  Path equality pinned in tests/test_queries_r3aj.py with the
+# cap forced to 0.
+LABEL_BROADCAST_CAP = 2_000_000
+
 
 def _read(sf_dir: str, table: str, columns: list[str]):
     from .queries import read_table
@@ -44,26 +52,44 @@ def q_docs_leakfree_split(sf_dir: str) -> ray.data.Dataset:
     from .queries_ext import q_neardup_clusters
 
     clusters = q_neardup_clusters(sf_dir)
-    # bounded by the number of CLUSTERED docs; ray.put once, read per
-    # task (the J1 broadcast idiom — never per-batch reshipping)
-    label_ref = ray.put(dict(
-        zip(clusters.column("doc_id").to_pylist(),
-            clusters.column("cluster_id").to_pylist())))
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
 
-    def assign(batch: pa.Table) -> pa.Table:
-        label = ray.get(label_ref)
-        vids = batch.column("vec_id").to_pylist()
-        groups = [label.get(v, v) for v in vids]
+    def finish(vids, groups) -> pa.Table:
         splits = ["test" if hashlib.md5(str(g).encode()).hexdigest()[0]
                   in TEST_HEX else "train" for g in groups]
         return pa.table({
-            "vec_id": batch.column("vec_id"),
+            "vec_id": pa.array(vids, type=pa.int64()),
             "group_id": pa.array(groups, type=pa.int64()),
             "split": pa.array(splits, type=pa.string()),
         })
 
-    return (_read(sf_dir, "embeddings", ["vec_id"])
-            .map_batches(assign, **_PYA))
+    if clusters.num_rows <= LABEL_BROADCAST_CAP:
+        # ray.put once, read per task (the J1 broadcast idiom — never
+        # per-batch reshipping)
+        label_ref = ray.put(dict(
+            zip(clusters.column("doc_id").to_pylist(),
+                clusters.column("cluster_id").to_pylist())))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            label = ray.get(label_ref)
+            vids = batch.column("vec_id").to_pylist()
+            return finish(vids, [label.get(v, v) for v in vids])
+
+        return emb.map_batches(assign, **_PYA)
+
+    # join fallback: attach labels with a distributed left_outer join on
+    # vec_id; a null cluster_id means "singleton — label yourself"
+    lbl_ds = ray.data.from_arrow(clusters)
+
+    def assign_joined(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_pylist()
+        labels = batch.column("cluster_id").to_pylist()
+        return finish(vids, [v if g is None else g
+                             for v, g in zip(vids, labels)])
+
+    return (emb.join(lbl_ds, join_type="left_outer", num_partitions=8,
+                     on=("vec_id",), right_on=("doc_id",))
+            .map_batches(assign_joined, **_PYA))
 
 
 SQL_DOCS_LEAKFREE_SPLIT = """
