@@ -213,3 +213,35 @@ def test_canonicalize_batch_collapses_variants(ray_session):
     df = ds.to_pandas()
     assert df.canonical_url.nunique() == 2
     assert (df.canonical_url == "https://h.example/a?x=1&y=2").sum() == 3
+
+
+def test_pagerank_distributed_branch_never_collects_midway(ray_session,
+                                                           monkeypatch):
+    """VERDICT r3 #2: the distributed branch must stay keyed — no
+    take_all ever, and the only to_pandas is the final (host, rank)
+    return the pa.Table API requires."""
+    import ray as _ray
+    import ray.data as rd
+
+    from text_extraction_ray.core.links import pagerank
+
+    calls = {"take_all": 0, "to_pandas": 0}
+    real_take_all, real_to_pandas = rd.Dataset.take_all, rd.Dataset.to_pandas
+
+    def spy_take_all(self, *a, **k):
+        calls["take_all"] += 1
+        return real_take_all(self, *a, **k)
+
+    def spy_to_pandas(self, *a, **k):
+        calls["to_pandas"] += 1
+        return real_to_pandas(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy_take_all)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", spy_to_pandas)
+
+    t = pa.table({"src_host": ["a", "b", "c", "a"],
+                  "dst_host": ["b", "c", "a", "c"]})
+    out = pagerank(_ray.data.from_arrow(t), iters=3, pair_cap=0)
+    assert abs(sum(out.column("rank").to_pylist()) - 1.0) < 1e-9
+    assert calls["take_all"] == 0
+    assert calls["to_pandas"] == 1
