@@ -192,3 +192,85 @@ def test_streaming_reader_matches_whole_buffer(tmp_path):
     cut = data[: len(data) * 2 // 3]
     assert (list(iter_warc_stream(io.BytesIO(cut), chunk_size=333))
             == list(parse_warc(cut)))
+
+
+def test_http_encoded_bodies_decode_byte_identically(tmp_path):
+    """VERDICT r3 Missing #3: response bodies wrapped in HTTP
+    Content-Encoding (gzip/deflate) or Transfer-Encoding (chunked) must
+    parse byte-identically to the unencoded twin, through BOTH parsers
+    and under gzip members."""
+    from text_extraction_ray.sources.warc import iter_warc_stream
+
+    records = [
+        ("https://e.example/a", TS, b"<html><body><p>hello enc</p></body></html>"),
+        ("https://e.example/b", TS, b"<p>" + b"x" * 5000 + b"</p>"),  # >1 chunk
+        ("https://e.example/c", TS, b""),
+    ]
+    plain = str(tmp_path / "plain.warc")
+    write_warc(plain, records)
+    want = list(parse_warc(open(plain, "rb").read()))
+    assert [b for _, _, b in want] == [b for _, _, b in records]
+    for enc in ("gzip", "deflate", "chunked"):
+        for gz in (False, True):
+            p = str(tmp_path / f"enc_{enc}_{gz}.warc")
+            write_warc(p, records, gzip_members=gz, http_encoding=enc)
+            raw = open(p, "rb").read()
+            assert list(parse_warc(raw)) == want, (enc, gz)
+            with open(p, "rb") as fh:
+                assert list(iter_warc_stream(fh, chunk_size=256)) == want, \
+                    (enc, gz)
+
+
+def test_http_encoded_body_salvage(tmp_path):
+    """Corrupt/truncated encoded bodies keep the decoded prefix (or pass
+    through raw) instead of raising — totality contract."""
+    import gzip as _gzip
+
+    from text_extraction_ray.sources.warc import (
+        _dechunk, _inflate_http_body)
+
+    import hashlib
+
+    # incompressible body so a byte-truncation lands mid-data, not
+    # inside the header/first block
+    body = b"".join(hashlib.sha256(bytes([i])).digest()
+                    for i in range(200))
+    gz = _gzip.compress(body, mtime=0)
+    # truncated gzip: intact prefix, no raise
+    got = _inflate_http_body(gz[: len(gz) // 2], b"gzip")
+    assert body.startswith(got) and 0 < len(got) < len(body)
+    # structurally corrupt mid-stream (compressible body -> Huffman
+    # blocks, so flipped bytes break the structure): clean prefix, no
+    # raise.  (Corrupting a STORED block corrupts data silently — only
+    # totality is promised there.)
+    body2 = b"<p>" + b"salvage me " * 400 + b"</p>"
+    gz2 = _gzip.compress(body2, mtime=0)
+    corrupt = (gz2[: len(gz2) // 2] + b"\xff\x00\xff\x00"
+               + gz2[len(gz2) // 2 + 4:])
+    got = _inflate_http_body(corrupt, b"gzip")
+    assert isinstance(got, bytes)
+    assert body2.startswith(got) or got == corrupt
+    # declared gzip without magic: raw pass-through
+    assert _inflate_http_body(b"not actually gzip", b"gzip") == \
+        b"not actually gzip"
+    # raw-deflate stream (no zlib wrapper): the ambiguity fallback
+    import zlib
+
+    raw_deflate = zlib.compressobj(wbits=-15)
+    raw = raw_deflate.compress(body) + raw_deflate.flush()
+    assert _inflate_http_body(raw, b"deflate") == body
+    # unknown coding passes through
+    assert _inflate_http_body(b"abc", b"br") == b"abc"
+    # chunked: malformed size line -> raw; truncated chunk -> prefix
+    assert _dechunk(b"zz\r\nhello") == b"zz\r\nhello"
+    assert _dechunk(b"10\r\nonly5") == b"only5"
+    # zip-bomb guard: decoded output capped
+    import text_extraction_ray.sources.warc as W
+
+    bomb = _gzip.compress(b"\x00" * (1 << 22), mtime=0)
+    old = W._BODY_DECODE_CAP
+    W._BODY_DECODE_CAP = 1 << 16
+    try:
+        assert len(_inflate_http_body(bomb, b"gzip")) <= (1 << 16) + (1 << 15)
+    finally:
+        W._BODY_DECODE_CAP = old
