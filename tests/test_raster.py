@@ -104,8 +104,10 @@ def test_resize_gray_nearest():
 
 
 def test_media_decoder_real_pixels(ray_session):
-    """End-to-end through the Ray stages: synth (fake/BMP/PNG mix) →
-    decode actor pool — pixel stats must match the raster exactly."""
+    """End-to-end through the Ray stages: synth (fake/BMP/PNG/GIF/JPEG
+    cycle) → decode actor pool — pixel stats must match the raster
+    exactly for the lossless containers and within the DCT round-trip
+    bound (±2/pixel) for JPEG."""
     import ray.data
 
     from text_extraction_ray.functions.multimodal import (
@@ -121,7 +123,7 @@ def test_media_decoder_real_pixels(ray_session):
     media = synth_media_batch(tbl)
     assert set(media.column("media_type").to_pylist()) == {
         "application/x-fake-image", "image/bmp", "image/png",
-        "image/gif"}
+        "image/gif", "image/jpeg"}
     out = (ray.data.from_arrow(media)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=8,
                         batch_format="pyarrow", zero_copy_batch=True)
@@ -130,12 +132,20 @@ def test_media_decoder_real_pixels(ray_session):
     for i in range(30):
         w = 16 + (i * 7) % 48
         h = 16 + (i * 13) % 32
-        raster = _synth_raster(i, w, h, 4096 if i % 4 == 0 else None)
+        raster = _synth_raster(i, w, h, 4096 if i % 5 == 0 else None)
         row = out.loc[i]
         assert row["n_pixels"] == w * h
         arr = np.frombuffer(raster, dtype=np.uint8)
-        assert row["mean_pixel"] == round(int(arr.sum()) / len(raster), 4)
-        assert bytes(row["thumb16"]) == raster[:16]
+        if i % 5 == 4:   # JPEG: DCT-lossy, bounded by the flat-quant
+            got = np.frombuffer(bytes(row["thumb16"]), dtype=np.uint8)
+            assert np.abs(got.astype(int)
+                          - arr[:16].astype(int)).max() <= 2
+            assert abs(row["mean_pixel"]
+                       - int(arr.sum()) / len(raster)) <= 2.0
+        else:
+            assert row["mean_pixel"] == round(
+                int(arr.sum()) / len(raster), 4)
+            assert bytes(row["thumb16"]) == raster[:16]
 
 
 def test_resize_composes_with_decode(ray_session):
@@ -162,7 +172,7 @@ def test_resize_composes_with_decode(ray_session):
     # container preserved through the resize
     assert set(rt["media_type"]) == {
         "application/x-fake-image", "image/bmp", "image/png",
-        "image/gif"}
+        "image/gif", "image/jpeg"}
     out = (ray.data.from_pandas(rt)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=8,
                         batch_format="pyarrow")
@@ -189,7 +199,7 @@ def test_decoder_routes_corrupt_media_to_error_column(ray_session):
            .to_pandas().sort_values("media_id"))
     assert (~out["decode_ok"]).all()
     assert out["error"].str.len().gt(0).all()
-    assert "no codec" in out.iloc[2]["error"]  # jpeg: honest unsupported
+    assert out.iloc[2]["error"].startswith("jpeg:")  # empty payload
 
 
 def test_unfilter_rgb_average_paeth_exact():
@@ -270,13 +280,13 @@ def test_unfilter_mixed_filters_per_row():
 
 
 def test_jpeg_and_gif_sniffed_and_routed_precisely(ray_session):
-    """Round-3: FFD8 payloads land in the error column with a
-    codec-specific reason; a VALID mislabelled GIF now DECODES (the
-    from-scratch LZW codec replaced the sniff-and-refuse route), and a
-    truncated GIF errors with a gif-specific reason."""
+    """Round-4: a VALID mislabelled JPEG now DECODES (the from-scratch
+    baseline codec replaced round 3's sniff-and-refuse route); truncated
+    JPEG/GIF payloads error with codec-specific reasons."""
     import ray.data
 
     from text_extraction_ray.core.gif import encode_gif
+    from text_extraction_ray.core.jpeg import encode_jpeg
     from text_extraction_ray.core.raster import sniff_raster
     from text_extraction_ray.functions.multimodal import FakeMediaDecoder
 
@@ -284,26 +294,35 @@ def test_jpeg_and_gif_sniffed_and_routed_precisely(ray_session):
     exif = b"\xff\xd8\xff\xe1\x00\x20Exif\x00\x00" + b"\x00" * 32
     gif_trunc = b"GIF89a" + b"\x00" * 16
     gif_ok = encode_gif(4, 4, bytes(range(16)))
+    jpeg_ok = encode_jpeg(8, 8, bytes(range(64)))
     assert sniff_raster(jfif) == "image/jpeg"
     assert sniff_raster(exif) == "image/jpeg"
     assert sniff_raster(gif_trunc) == "image/gif"
+    assert sniff_raster(jpeg_ok) == "image/jpeg"
     assert sniff_raster(b"\xff\xd8\x00") is None  # SOI alone isn't enough
 
     tbl = pa.table({
-        "media_id": pa.array([1, 2, 3, 4], type=pa.int64()),
-        "media": pa.array([jfif, exif, gif_trunc, gif_ok],
+        "media_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "media": pa.array([jfif, exif, gif_trunc, gif_ok, jpeg_ok],
                           type=pa.binary()),
         # declared types are wrong/unknown — the sniffer must still route
         "media_type": pa.array(["unknown", "application/octet-stream",
-                                "unknown", "unknown"], type=pa.string()),
+                                "unknown", "unknown", "unknown"],
+                               type=pa.string()),
     })
     out = (ray.data.from_arrow(tbl)
            .map_batches(FakeMediaDecoder, concurrency=1, batch_size=4,
                         batch_format="pyarrow")
            .to_pandas().sort_values("media_id"))
-    assert out.iloc[0]["error"].startswith("jpeg: recognized")
-    assert out.iloc[1]["error"].startswith("jpeg: recognized")
+    # truncated headers-only JPEGs: decoded honestly, fail precisely
+    assert not out.iloc[0]["decode_ok"]
+    assert out.iloc[0]["error"].startswith("jpeg:")
+    assert not out.iloc[1]["decode_ok"]
+    assert out.iloc[1]["error"].startswith("jpeg:")
     assert not out.iloc[2]["decode_ok"]
     assert out.iloc[2]["error"].startswith("gif:")
     assert out.iloc[3]["decode_ok"]
     assert out.iloc[3]["n_pixels"] == 16
+    # the headline: a mislabelled VALID JPEG decodes end-to-end
+    assert out.iloc[4]["decode_ok"]
+    assert out.iloc[4]["n_pixels"] == 64

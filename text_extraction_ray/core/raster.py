@@ -300,9 +300,9 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 
 def sniff_raster(data: bytes) -> str | None:
     """'image/bmp' | 'image/png' | 'image/jpeg' | 'image/gif' | None by
-    magic bytes.  JPEG/GIF have no decoder in this sandbox, but sniffing
-    them lets the decode stage route such payloads to the error column
-    with a precise reason instead of 'unknown' (VERDICT-r2 missing #5).
+    magic bytes.  All four now have from-scratch decoders (GIF since
+    round 3, JPEG since round 4 — core/gif.py, core/jpeg.py), so a
+    sniff routes mislabelled crawl payloads to the REAL codec.
     JPEG = FFD8FF (covers JFIF, EXIF, raw-SOI crawl variants)."""
     if data.startswith(b"BM"):
         return "image/bmp"

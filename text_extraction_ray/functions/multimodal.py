@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Round 2: the DECODE step is REAL for BMP and PNG — ``core.raster``
-implements both codecs from scratch against the public specs (no image
-library exists in this sandbox, SURVEY SS0.3), so ``MediaDecoder``
-actually parses container headers, CRC-checks chunks, inflates IDAT and
-unfilters scanlines.  The deterministic ``application/x-fake-image``
-header format remains as a third type (and as the video frame payload);
-genuinely unsupported types (JPEG etc.) still raise
-``NotImplementedError`` and are routed to the error column.
+The DECODE step is REAL for BMP, PNG (round 2, ``core.raster``), GIF
+(round 3, ``core.gif`` LZW) and JPEG (round 4, ``core.jpeg`` baseline
+Huffman+IDCT) — all implemented from scratch against the public specs
+(no image library exists in this sandbox, SURVEY SS0.3), so
+``MediaDecoder`` actually parses containers, CRC-checks chunks,
+inflates, unfilters, and entropy-decodes.  The deterministic
+``application/x-fake-image`` header format remains (and is the video
+frame payload); genuinely unsupported payloads still raise
+``NotImplementedError``/``ValueError`` and route to the error column.
 
 Everything Ray-side is unchanged: the schema (binary column + metadata),
 the actor-pool stage shape (decoder state built once per actor in
@@ -35,6 +36,7 @@ FAKE_MEDIA_TYPE = "application/x-fake-image"
 BMP_MEDIA_TYPE = "image/bmp"
 PNG_MEDIA_TYPE = "image/png"
 GIF_MEDIA_TYPE = "image/gif"
+JPEG_MEDIA_TYPE = "image/jpeg"
 _HEADER = struct.Struct("<HH")  # width, height
 
 
@@ -49,18 +51,21 @@ def _synth_raster(i: int, w: int, h: int, cap: int | None = None) -> bytes:
 
 def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
                       text_col: str = "text") -> pa.Table:
-    """Derive a deterministic 'image' per row, cycling through the four
-    container formats by id: fake-header, real BMP, real PNG, real GIF —
-    the same pixel function either way, so the decode stage is tested
-    end-to-end against real containers (GIF joined in round 3: from-
-    scratch LZW codec in core/gif.py)."""
+    """Derive a deterministic 'image' per row, cycling through the FIVE
+    container formats by id: fake-header, real BMP, real PNG, real GIF,
+    real JPEG — the same pixel function either way, so the decode stage
+    is tested end-to-end against real containers (GIF joined in round 3
+    via the from-scratch LZW codec in core/gif.py; JPEG in round 4 via
+    the from-scratch baseline codec in core/jpeg.py, cycling gray /
+    4:4:4 / 4:2:0 subsampling).  JPEG is DCT-lossy: its pixels
+    round-trip within ±2 of the raster function, never exactly."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     media, mtype, width, height = [], [], [], []
     for i, t in zip(ids, texts):
         w = 16 + (i * 7) % 48
         h = 16 + (i * 13) % 32
-        variant = i % 4
+        variant = i % 5
         if variant == 0:
             media.append(_HEADER.pack(w, h) + _synth_raster(i, w, h, 4096))
             mtype.append(FAKE_MEDIA_TYPE)
@@ -71,11 +76,18 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
             media.append(encode_png(w, h, _synth_raster(i, w, h),
                                     filter_type=i % 5))
             mtype.append(PNG_MEDIA_TYPE)
-        else:
+        elif variant == 3:
             from ..core.gif import encode_gif
 
             media.append(encode_gif(w, h, _synth_raster(i, w, h)))
             mtype.append(GIF_MEDIA_TYPE)
+        else:
+            from ..core.jpeg import encode_jpeg
+
+            sub = ("gray", "444", "420")[(i // 5) % 3]
+            media.append(encode_jpeg(w, h, _synth_raster(i, w, h),
+                                     subsampling=sub))
+            mtype.append(JPEG_MEDIA_TYPE)
         width.append(w)
         height.append(h)
     return pa.table(
@@ -140,14 +152,19 @@ def _decode_any(media_type: str, payload: bytes) -> tuple[int, int, bytes]:
         from ..core.gif import decode_gif
 
         return decode_gif(payload)
-    # Unknown/missing declared type: sniff the payload so the error column
-    # carries a PRECISE reason — a mislabelled crawl JPEG reads
-    # "jpeg: recognized but no decoder", not "no codec for 'unknown'".
+    if media_type == JPEG_MEDIA_TYPE:
+        from ..core.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    # Unknown/missing declared type: sniff the payload and route to the
+    # real codec — a mislabelled crawl JPEG/GIF decodes (round-4: from-
+    # scratch baseline JPEG decoder in core/jpeg.py replaced the
+    # sniff-and-refuse route of round 3).
     sniffed = sniff_raster(payload)
     if sniffed == "image/jpeg":
-        raise NotImplementedError(
-            "jpeg: recognized (FFD8 magic) but no JPEG decoder in this "
-            "environment — plug PIL/libjpeg here")
+        from ..core.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if sniffed == "image/gif":
         # mislabelled but decodable since round 3's from-scratch codec
         from ..core.gif import decode_gif
@@ -173,6 +190,10 @@ def _encode_any(media_type: str, w: int, h: int, gray: bytes) -> bytes:
         from ..core.gif import encode_gif
 
         return encode_gif(w, h, gray)
+    if media_type == JPEG_MEDIA_TYPE:
+        from ..core.jpeg import encode_jpeg
+
+        return encode_jpeg(w, h, gray)   # grayscale, near-lossless
     raise NotImplementedError(f"no encoder for {media_type!r}")
 
 
