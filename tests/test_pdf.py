@@ -263,3 +263,75 @@ def test_fonts_without_maps_keep_latin1_passthrough():
     pb.text_lines(["plain ascii body line one", "and line two"])
     out = extract_pdf(build_pdf([pb]))
     assert out["extracted_text"] == "plain ascii body line one and line two"
+
+
+CJK_LINES = [
+    "こんにちは世界、これは抽出テストです。",
+    "中文文本处理：大规模网页数据清洗流程",
+    "한국어 텍스트 추출 테스트 문장",
+]
+
+
+def test_cid_two_byte_roundtrip():
+    """Round-4 (VERDICT r3 next #7): Type0/Identity-H fonts with a
+    TWO-BYTE ToUnicode CMap extract real CJK text (compressed and
+    plain), instead of degrading to mojibake."""
+    from text_extraction_ray.core.pdf import extract_pdf
+    from text_extraction_ray.core.pdf_write import (
+        PageBuilder,
+        build_pdf,
+        make_cid_map,
+    )
+
+    cmap = make_cid_map(CJK_LINES)
+    assert all(code >= 0x0100 for code in cmap.values())
+    for compress in (False, True):
+        pb = PageBuilder()
+        pb.text_lines_cid(CJK_LINES, cmap)
+        pdf = build_pdf([pb], compress=compress, code_map=cmap,
+                        encoding_style="cid")
+        out = extract_pdf(pdf)
+        assert out["parse_ok"]
+        assert out["extracted_text"] == " ".join(CJK_LINES)
+
+
+def test_bfrange_two_byte_forms():
+    """2-byte bfrange triples/arrays and bfchar: codespace <0000><ffff>
+    flips the map to two-byte mode; codes above 0xFF resolve."""
+    from text_extraction_ray.core.pdf import _parse_tounicode
+
+    data = (b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+            b"1 beginbfrange <0100> <0102> <4e00> endbfrange\n"
+            b"1 beginbfrange <0200> <0201> [<3042> <3044>] endbfrange\n"
+            b"1 beginbfchar <0a51> <ac00> endbfchar\n")
+    m = _parse_tounicode(data)
+    assert m.two_byte
+    assert (m[0x0100], m[0x0101], m[0x0102]) == ("一", "丁", "丂")
+    assert (m[0x0200], m[0x0201]) == ("あ", "い")
+    assert m[0x0A51] == "가"
+
+
+def test_single_byte_cmaps_stay_single_byte():
+    """The round-3 single-byte subset must be untouched by the CID
+    extension: same codes, two_byte False (goldens are frozen on it)."""
+    from text_extraction_ray.core.pdf import _parse_tounicode
+
+    data = (b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+            b"1 beginbfrange <20> <7e> <0020> endbfrange\n"
+            b"1 beginbfchar <80> <00e9> endbfchar\n")
+    m = _parse_tounicode(data)
+    assert not m.two_byte
+    assert m[0x20] == " " and m[0x7E] == "~" and m[0x80] == "é"
+
+
+def test_cid_unmapped_code_degrades_to_replacement():
+    """An unmapped CID shows U+FFFD (honest degradation), an odd
+    trailing byte is dropped — totality on hand-corrupt content."""
+    from text_extraction_ray.core.pdf import _CodeMap, _show_through
+
+    m = _CodeMap({0x0100: "漢"})
+    m.two_byte = True
+    s = "".join(chr(b) for b in (0x01, 0x00, 0x99, 0x99, 0x01))
+    shown, glyphs = _show_through(s, m)
+    assert shown == "漢�"
+    assert glyphs == 2

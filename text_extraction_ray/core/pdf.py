@@ -71,12 +71,15 @@ def _unescape_pdf_string(s: str) -> str:
     return _STR_ESC_RE.sub(repl, s)
 
 
-# --- font encodings: ToUnicode CMaps + /Differences (round 3) ---------------
-# Supported subset (VERDICT-r2 next #5): SINGLE-BYTE codes only — simple
-# ToUnicode bfchar/bfrange entries (UTF-16BE destinations) and /Encoding
-# dictionaries carrying /Differences with uniXXXX/uXXXX or common-AGL glyph
-# names.  Multi-byte CID fonts stay out of scope and degrade to the
-# latin-1 passthrough, exactly as before.
+# --- font encodings: ToUnicode CMaps + /Differences (round 3/4) --------------
+# Round 3 (VERDICT-r2 next #5): single-byte ToUnicode bfchar/bfrange
+# entries (UTF-16BE destinations) and /Encoding /Differences with
+# uniXXXX/uXXXX or common-AGL glyph names.  Round 4 (VERDICT-r3 next
+# #7): TWO-BYTE codes — Type0/CID fonts (the common real-PDF case for
+# CJK) whose ToUnicode CMap declares <0000><FFFF>-style codespaces and
+# 4-hex-digit bfchar/bfrange sources; show strings then decode in
+# 2-byte code units.  Fonts with no usable map keep the latin-1
+# passthrough, exactly as before.
 
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_BIND_RE = re.compile(rb"/([A-Za-z0-9#._\-]+)\s+(\d+)\s+\d+\s+R")
@@ -84,6 +87,8 @@ _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEX_TOK_RE = re.compile(rb"<([0-9a-fA-F]+)>")
 _BFRANGE_ARR_RE = re.compile(
@@ -144,32 +149,61 @@ def _utf16be(hexs: bytes) -> str:
         return ""
 
 
-def _parse_tounicode(data: bytes) -> dict[int, str]:
-    """bfchar/bfrange blocks → {single-byte code: unicode str}."""
-    cmap: dict[int, str] = {}
+class _CodeMap(dict):
+    """code → unicode map; ``two_byte`` selects the show-string code
+    unit (1 byte for simple fonts, 2 for Type0/CID)."""
+
+    two_byte = False
+
+
+_RANGE_CAP = 1 << 16   # defensive bound on bfrange expansion
+
+
+def _parse_tounicode(data: bytes) -> "_CodeMap":
+    """bfchar/bfrange blocks → {code: unicode str}.  The code width is
+    inferred from the declared codespace and the source token widths:
+    any source wider than 2 hex digits marks the font two-byte."""
+    cmap = _CodeMap()
+    two = False
+    for blk in _CODESPACE_RE.finditer(data):
+        for tok in _HEX_TOK_RE.findall(blk.group(1)):
+            if len(tok) > 2:
+                two = True
+    max_code = 0xFFFF if two else 0xFF
+
+    def note_width(tok: bytes) -> None:
+        nonlocal two, max_code
+        if len(tok) > 2 and not two:
+            two = True
+            max_code = 0xFFFF
+
     for blk in _BFRANGE_RE.finditer(data):
         body = blk.group(1)
         for am in _BFRANGE_ARR_RE.finditer(body):
+            note_width(am.group(1))
             lo, hi = int(am.group(1), 16), int(am.group(2), 16)
             dsts = _HEX_TOK_RE.findall(am.group(3))
             for i, d in enumerate(dsts):
-                if lo + i <= hi and lo + i <= 0xFF:
+                if lo + i <= hi and lo + i <= max_code:
                     cmap[lo + i] = _utf16be(d)
         body_wo_arrays = _BFRANGE_ARR_RE.sub(b"", body)
         for tm in _BFRANGE_TRIPLE_RE.finditer(body_wo_arrays):
+            note_width(tm.group(1))
             lo, hi = int(tm.group(1), 16), int(tm.group(2), 16)
             base = _utf16be(tm.group(3))
             if not base or hi < lo:
                 continue
             start = ord(base[-1])
-            for code in range(lo, min(hi, 0xFF) + 1):
+            for code in range(lo, min(hi, max_code, lo + _RANGE_CAP) + 1):
                 cmap[code] = base[:-1] + chr(start + code - lo)
     for blk in _BFCHAR_RE.finditer(data):
         hexes = _HEX_TOK_RE.findall(blk.group(1))
         for src, dst in zip(hexes[0::2], hexes[1::2]):
+            note_width(src)
             code = int(src, 16)
-            if code <= 0xFF:
+            if code <= max_code:
                 cmap[code] = _utf16be(dst)
+    cmap.two_byte = two
     return cmap
 
 
@@ -363,14 +397,32 @@ class _Run:
         self.text = text
 
 
+def _show_through(s: str, cur_map) -> tuple[str, int]:
+    """Decode a show string through the active font map → (text,
+    glyph count).  Two-byte (Type0/CID) maps consume 2-byte code
+    units (unmapped CIDs degrade to U+FFFD, an odd trailing byte is
+    dropped); single-byte maps keep the round-3 behavior (unmapped
+    codes pass through as latin-1)."""
+    if cur_map is None:
+        return s, len(s)
+    if getattr(cur_map, "two_byte", False):
+        out = []
+        for i in range(0, len(s) - 1, 2):
+            code = (ord(s[i]) << 8) | ord(s[i + 1])
+            out.append(cur_map.get(code, "\ufffd"))
+        return "".join(out), len(s) // 2
+    return "".join(cur_map.get(ord(c), c) for c in s), len(s)
+
+
 def _interpret(stream: bytes,
                fonts: dict[str, dict[int, str]] | None = None
                ) -> tuple[list[_Run], list[tuple[float, float, float, float]]]:
     """Execute the content-stream subset → (text runs, filled/stroked rects).
 
-    ``fonts``: resource-name → byte→unicode maps from ``_font_maps``;
+    ``fonts``: resource-name → code→unicode maps from ``_font_maps``;
     ``Tf`` selects the active map and show operators decode through it
-    (fonts without a map keep the latin-1 passthrough)."""
+    in the map's code unit (1 or 2 bytes); fonts without a map keep the
+    latin-1 passthrough."""
     text = stream.decode("latin-1", "replace")
     runs: list[_Run] = []
     rects: list[tuple[float, float, float, float]] = []
@@ -442,24 +494,23 @@ def _interpret(stream: bytes,
                 if in_text and stack and stack[-1][0] == "str":
                     s = stack[-1][1]
                     if s:
-                        shown = ("".join(cur_map.get(ord(c), c) for c in s)
-                                 if cur_map else s)
+                        shown, glyphs = _show_through(s, cur_map)
                         if shown:
                             runs.append(_Run(cx, cy, shown))
-                        # advance by the RAW code count (glyph count),
-                        # not the mapped length — geometry is per glyph
-                        cx += 5.5 * len(s)
+                        # advance by the GLYPH count, not the mapped
+                        # length — geometry is per glyph
+                        cx += 5.5 * glyphs
                 stack.clear()
             elif op == "TJ":
                 if in_text:
                     parts = [v for k, v in stack if k == "str"]
-                    s = "".join(parts)
-                    if s:
-                        shown = ("".join(cur_map.get(ord(c), c) for c in s)
-                                 if cur_map else s)
+                    if any(parts):
+                        decoded = [_show_through(p, cur_map)
+                                   for p in parts]
+                        shown = "".join(d for d, _ in decoded)
                         if shown:
                             runs.append(_Run(cx, cy, shown))
-                        cx += 5.5 * len(s)
+                        cx += 5.5 * sum(g for _, g in decoded)
                 stack.clear()
             elif op == "re":
                 if len(stack) >= 4 and all(s[0] == "num" for s in stack[-4:]):

@@ -68,6 +68,18 @@ class PageBuilder:
             self.y -= LINE_LEADING
         self.y -= REGION_GAP - LINE_LEADING
 
+    def text_lines_cid(self, lines: list[str], cmap: dict[str, int],
+                       x: float = LEFT_X) -> None:
+        """Paragraph shown as TWO-BYTE hex strings under a CID code map
+        (pair with build_pdf(code_map=..., encoding_style='cid'))."""
+        for line in lines:
+            self.ops.append(
+                f"BT /F1 11 Tf {x:.1f} {self.y:.1f} Td "
+                f"{encode_text_cid(line, cmap)} Tj ET"
+            )
+            self.y -= LINE_LEADING
+        self.y -= REGION_GAP - LINE_LEADING
+
     def table(self, rows: list[list[str]], x: float = LEFT_X) -> None:
         """Fully ruled cell grid + cell text — the reference's tabular case."""
         n_rows = len(rows)
@@ -124,6 +136,62 @@ def encode_text(s: str, cmap: dict[str, int]) -> str:
     return "<" + "".join(f"{cmap[c]:02x}" for c in s) + ">"
 
 
+def make_cid_map(texts: list[str]) -> dict[str, int]:
+    """char → TWO-BYTE code (Type0/CID fonts, the real-PDF CJK case):
+    every distinct char takes the next code from 0x0100 (deterministic:
+    sorted), leaving the low range unused so a decoder that wrongly
+    reads single bytes produces visible mojibake, not silent overlap."""
+    cmap: dict[str, int] = {}
+    nxt = 0x0100
+    for ch in sorted({c for t in texts for c in t}):
+        if nxt > 0xFFFF:
+            raise ValueError("more than 65279 distinct chars")
+        cmap[ch] = nxt
+        nxt += 1
+    return cmap
+
+
+def encode_text_cid(s: str, cmap: dict[str, int]) -> str:
+    """Hex-string form of ``s`` under the two-byte code map."""
+    return "<" + "".join(f"{cmap[c]:04x}" for c in s) + ">"
+
+
+def tounicode_cmap_cid(cmap: dict[str, int]) -> bytes:
+    """Two-byte ToUnicode CMap: <0000><ffff> codespace; contiguous
+    (code, unicode) runs emit bfrange triples (exercising the 2-byte
+    range path), the rest bfchar entries."""
+    pairs = sorted((code, ch) for ch, code in cmap.items())
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in pairs:
+        if (runs and code == runs[-1][-1][0] + 1
+                and ord(ch) == ord(runs[-1][-1][1]) + 1):
+            runs[-1].append((code, ch))
+        else:
+            runs.append([(code, ch)])
+    ranges = [r for r in runs if len(r) >= 2]
+    chars = [rc for r in runs if len(r) < 2 for rc in r]
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin begincmap",
+        "1 begincodespacerange <0000> <ffff> endcodespacerange",
+    ]
+    if ranges:
+        lines.append(f"{len(ranges)} beginbfrange")
+        for r in ranges:
+            lo, hi = r[0][0], r[-1][0]
+            dst = r[0][1].encode("utf-16-be").hex()
+            lines.append(f"<{lo:04x}> <{hi:04x}> <{dst}>")
+        lines.append("endbfrange")
+    if chars:
+        lines.append(f"{len(chars)} beginbfchar")
+        for code, ch in chars:
+            dst = ch.encode("utf-16-be").hex()
+            lines.append(f"<{code:04x}> <{dst}>")
+        lines.append("endbfchar")
+    lines += ["endcmap end end"]
+    return "\n".join(lines).encode("ascii")
+
+
 def tounicode_cmap(cmap: dict[str, int]) -> bytes:
     """Minimal ToUnicode CMap: ASCII identity bfrange + one bfchar per
     custom code (UTF-16BE destinations)."""
@@ -164,11 +232,13 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False,
               encoding_style: str = "tounicode") -> bytes:
     """Assemble a complete PDF with xref table and trailer.
 
-    ``code_map``: char→code map from ``make_code_map``; when given, /F1
-    becomes a custom single-byte font whose mapping is declared per
-    ``encoding_style`` — 'tounicode' (CMap stream) or 'differences'
-    (/Encoding /Differences with uniXXXX names).  Content built with
-    ``encode_text`` then round-trips through core/pdf.py as unicode.
+    ``code_map``: char→code map; when given, /F1 becomes a custom font
+    whose mapping is declared per ``encoding_style`` — 'tounicode'
+    (single-byte CMap stream, pair with ``make_code_map``),
+    'differences' (/Encoding /Differences with uniXXXX names), or 'cid'
+    (Type0/Identity-H with a TWO-BYTE ToUnicode CMap, pair with
+    ``make_cid_map`` + ``text_lines_cid``).  Content built with the
+    matching encoder then round-trips through core/pdf.py as unicode.
     """
     objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
     n_pages = len(pages)
@@ -211,6 +281,20 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False,
             (f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
              f"/Encoding << /Type /Encoding /Differences "
              f"{differences_array(code_map)} >> >>").encode())
+    elif encoding_style == "cid":
+        cmap_data = tounicode_cmap_cid(code_map)
+        objects.append(
+            (f"<< /Type /Font /Subtype /Type0 /BaseFont /Custom "
+             f"/Encoding /Identity-H "
+             f"/DescendantFonts [{font_num + 2} 0 R] "
+             f"/ToUnicode {font_num + 1} 0 R >>").encode())
+        objects.append(
+            f"<< /Length {len(cmap_data)} >>".encode()
+            + b"\nstream\n" + cmap_data + b"\nendstream")
+        objects.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Custom "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>")
     else:
         raise ValueError(f"unknown encoding_style {encoding_style!r}")
 

@@ -192,6 +192,18 @@ _PDF_UNI_LINES = [
     "日本語 テスト 抽出 処理 結果",
 ]
 
+# CJK paragraphs (corpus v=7): shown as TWO-BYTE codes under a
+# Type0/Identity-H font with a two-byte ToUnicode CMap — exercises the
+# round-4 CID subset in core/pdf.py end to end (the common real-PDF
+# shape for CJK text)
+_PDF_CJK_LINES = [
+    "こんにちは世界、これは抽出テストです。",
+    "中文文本处理：大规模网页数据清洗流程",
+    "한국어 텍스트 추출 파이프라인 검증 문장",
+    "漢字かな交じり文の抽出結果を確認する",
+    "简体字与繁體字混合的段落示例文本",
+]
+
 
 def _pdf_payload(rng: random.Random) -> bytes:
     if rng.random() < 0.25:
@@ -224,8 +236,11 @@ def _pdf_payload(rng: random.Random) -> bytes:
                                 for _ in range(rng.randint(1, 2))])
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
+    cid_lines: list[str] | None = None
     if rng.random() < 0.35:
         unicode_lines = [rng.choice(_PDF_UNI_LINES) for _ in range(2)]
+    elif rng.random() < 0.25:          # corpus v=7: Type0/CID CJK pages
+        cid_lines = [rng.choice(_PDF_CJK_LINES) for _ in range(2)]
     pages = []
     for pi in range(n_pages):
         pb = PageBuilder()
@@ -252,6 +267,10 @@ def _pdf_payload(rng: random.Random) -> bytes:
 
             cmap = make_code_map(unicode_lines)
             pb.text_lines_encoded(unicode_lines, cmap)
+        if cid_lines is not None and pi == 0:
+            from ..core.pdf_write import make_cid_map
+
+            pb.text_lines_cid(cid_lines, make_cid_map(cid_lines))
         pages.append(pb)
     if unicode_lines is not None:
         from ..core.pdf_write import make_code_map
@@ -260,6 +279,13 @@ def _pdf_payload(rng: random.Random) -> bytes:
             pages, compress=rng.random() < 0.5,
             code_map=make_code_map(unicode_lines),
             encoding_style=rng.choice(["tounicode", "differences"]))
+    if cid_lines is not None:
+        from ..core.pdf_write import make_cid_map
+
+        return build_pdf(
+            pages, compress=rng.random() < 0.5,
+            code_map=make_cid_map(cid_lines),
+            encoding_style="cid")
     return build_pdf(pages, compress=rng.random() < 0.5)
 
 
@@ -342,7 +368,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=6"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=7"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
