@@ -9,16 +9,24 @@ repo's own writer" discipline, closing VERDICT r3 Missing #1 / Next #3
 dropped most real images from the media operators).
 
 Decoder — ``decode_jpeg(data) -> (w, h, gray)``:
-    Baseline/extended sequential DCT (SOF0/SOF1), table-driven Huffman
-    (any spec-valid DHT, not just Annex K), grayscale and 3-component
-    YCbCr with any sampling factors h,v ∈ {1,2} (covers 4:4:4, 4:2:2,
-    4:2:0), restart markers (DRI/RSTn), FF00 byte unstuffing.  The
-    engine's raster plane is single-channel luminance, so the output IS
-    the decoded Y plane — chroma blocks are entropy-decoded (the bit
-    stream demands it) but never reconstructed.  Progressive (SOF2) and
-    arithmetic-coded (SOF9+) files raise ``NotImplementedError`` with a
-    precise reason; corrupt streams raise ``ValueError`` prefixed
-    ``jpeg:`` so the error-routing stages stay honest.
+    Baseline/extended sequential DCT (SOF0/SOF1) AND progressive DCT
+    (SOF2, round 4 — the majority coding of web JPEGs), table-driven
+    Huffman (any spec-valid DHT, not just Annex K), grayscale and
+    3-component YCbCr with any sampling factors h,v ∈ {1,2} (covers
+    4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn), FF00 byte
+    unstuffing.  Progressive scans follow T.81 Annex G: spectral
+    selection (per-band AC scans with shared EOB-run state) and
+    successive approximation (DC/AC first + refinement passes with
+    correction bits); coefficients accumulate in per-component stores
+    across scans and reconstruct at EOI, so a TRUNCATED progressive
+    file still yields the pixels its delivered scans describe — the
+    format's own salvage property.  The engine's raster plane is
+    single-channel luminance, so the output IS the decoded Y plane —
+    chroma blocks are entropy-decoded (the bit stream demands it) but
+    never reconstructed.  Arithmetic-coded (SOF9+) and hierarchical
+    files raise ``NotImplementedError`` with a precise reason; corrupt
+    streams raise ``ValueError`` prefixed ``jpeg:`` so the
+    error-routing stages stay honest.
 
 Encoder — ``encode_jpeg(w, h, gray, subsampling, quality, restart)``:
     Minimal spec-valid writer for the synthetic fixture cycle:
@@ -97,6 +105,13 @@ _AC_SYMBOLS = [0x00] + [(r << 4) | s for r in range(16)
                         for s in range(1, 11)] + [0xF0]
 _DC_CODE = {sym: (i, 4) for i, sym in enumerate(_DC_SYMBOLS)}
 _AC_CODE = {sym: (i, 8) for i, sym in enumerate(_AC_SYMBOLS)}
+
+# progressive AC table adds the EOBn symbols (r<<4 for r=0..14, the
+# EOB-run lengths of T.81 Annex G) — 176 symbols, all at 8 bits
+_AC_SYMBOLS_PROG = ([r << 4 for r in range(15)]
+                    + [(r << 4) | s for r in range(16)
+                       for s in range(1, 11)] + [0xF0])
+_AC_CODE_PROG = {sym: (i, 8) for i, sym in enumerate(_AC_SYMBOLS_PROG)}
 
 
 class _BitWriter:
@@ -196,11 +211,16 @@ def _pad_edge(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
 def encode_jpeg(width: int, height: int, gray: bytes,
                 subsampling: str = "gray",
                 quality: int | None = None,
-                restart: int = 0) -> bytes:
-    """Baseline JFIF bytes for an 8-bit grayscale raster.  For the
-    color subsamplings the Y plane carries the raster and chroma is
-    neutral (Cb=Cr=128 → all-zero blocks), so a decode of the Y plane
-    round-trips the input."""
+                restart: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF bytes for an 8-bit grayscale raster.  For the color
+    subsamplings the Y plane carries the raster and chroma is neutral
+    (Cb=Cr=128 → all-zero blocks), so a decode of the Y plane
+    round-trips the input.  ``progressive=True`` emits SOF2 with a
+    scan script exercising both Annex-G dimensions — spectral
+    selection (split AC bands + EOB runs) and successive approximation
+    (Al=1 first passes + Ah=1 refinement passes with correction bits);
+    ``restart`` applies to the sequential mode only."""
     if len(gray) != width * height:
         raise ValueError("jpeg: raster length != width*height")
     if subsampling not in ("gray", "444", "420"):
@@ -217,14 +237,12 @@ def encode_jpeg(width: int, height: int, gray: bytes,
     sof += bytes([1, (samp[0] << 4) | samp[1], 0])
     if ncomp == 3:
         sof += bytes([2, 0x11, 0, 3, 0x11, 0])
-    out += _seg(0xC0, sof)                             # SOF0
+    out += _seg(0xC2 if progressive else 0xC0, sof)    # SOF0 / SOF2
     out += _seg(0xC4, _dht_payload(0x00, _DC_SYMBOLS, 4))
-    out += _seg(0xC4, _dht_payload(0x10, _AC_SYMBOLS, 8))
-    if restart:
+    out += _seg(0xC4, _dht_payload(
+        0x10, _AC_SYMBOLS_PROG if progressive else _AC_SYMBOLS, 8))
+    if restart and not progressive:
         out += _seg(0xDD, struct.pack(">H", restart))  # DRI
-    sos = bytes([ncomp]) + b"".join(
-        bytes([cid, 0x00]) for cid in range(1, ncomp + 1)) + b"\x00\x3f\x00"
-    out += _seg(0xDA, sos)
 
     hs, vs = samp
     mcu_w, mcu_h = 8 * hs, 8 * vs
@@ -237,6 +255,24 @@ def encode_jpeg(width: int, height: int, gray: bytes,
         # neutral chroma: 128 level-shifts to 0 -> all-zero blocks
         cblocks = np.zeros((ch // 8 * (cw // 8), 64), dtype=np.int64)
         cb_cols = cw // 8
+
+    if progressive:
+        comps = [{"blocks": yblocks, "cols": bw_cols, "h": hs, "v": vs,
+                  "ni_rows": -(-height // 8), "ni_cols": -(-width // 8)}]
+        if ncomp == 3:
+            c_h = -(-height // vs)           # chroma plane dims
+            c_w = -(-width // hs)
+            for _ in (1, 2):
+                comps.append({
+                    "blocks": cblocks, "cols": cb_cols, "h": 1, "v": 1,
+                    "ni_rows": -(-c_h // 8), "ni_cols": -(-c_w // 8)})
+        _emit_progressive_scans(out, comps, pw // mcu_w, ph // mcu_h)
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
+
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid, 0x00]) for cid in range(1, ncomp + 1)) + b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
 
     bw = _BitWriter()
     preds = [0, 0, 0]
@@ -262,6 +298,175 @@ def encode_jpeg(width: int, height: int, gray: bytes,
     out += bw.flush()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
+
+
+# --- progressive encoding (T.81 Annex G) -------------------------------------
+
+def _emit_progressive_scans(out: bytearray, comps: list[dict],
+                            mcus_x: int, mcus_y: int) -> None:
+    """Emit the progressive scan script: interleaved DC first (Al=1),
+    per-component AC band scans (Al=1; the Y band is split 1–5 / 6–63
+    to exercise spectral selection and EOB runs), then DC and AC
+    refinement passes (Ah=1, Al=0 — correction bits)."""
+    n = len(comps)
+    if n == 1:
+        script = [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 1),
+                  ((0,), 6, 63, 0, 1), ((0,), 0, 0, 1, 0),
+                  ((0,), 1, 63, 1, 0)]
+    else:
+        script = [(tuple(range(n)), 0, 0, 0, 1),
+                  ((0,), 1, 5, 0, 1), ((1,), 1, 63, 0, 1),
+                  ((2,), 1, 63, 0, 1), ((0,), 6, 63, 0, 1),
+                  (tuple(range(n)), 0, 0, 1, 0),
+                  ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0),
+                  ((2,), 1, 63, 1, 0)]
+    for comp_ids, ss, se, ah, al in script:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])     # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0:
+            _emit_dc_scan(bw, comps, comp_ids, ah, al, mcus_x, mcus_y)
+        else:
+            _emit_ac_scan(bw, comps[comp_ids[0]], ss, se, ah, al)
+        out += bw.flush()
+
+
+def _dc_code_block(bw: _BitWriter, dc: int, pred: int,
+                   ah: int, al: int) -> int:
+    """One block of a progressive DC scan; returns the new predictor
+    (kept in the Al-shifted domain, G.1.2.1)."""
+    if ah == 0:
+        t = dc >> al                         # arithmetic point transform
+        s, bits = _magnitude(t - pred)
+        code, width = _DC_CODE[s]
+        bw.write(code, width)
+        if s:
+            bw.write(bits, s)
+        return t
+    bw.write((dc >> al) & 1, 1)              # refinement: one raw bit
+    return pred
+
+
+def _emit_dc_scan(bw: _BitWriter, comps: list[dict],
+                  comp_ids: tuple[int, ...], ah: int, al: int,
+                  mcus_x: int, mcus_y: int) -> None:
+    if len(comp_ids) > 1:                    # interleaved MCU walk
+        preds = [0] * len(comp_ids)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for si, ci in enumerate(comp_ids):
+                c = comps[ci]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        bi = (my * c["v"] + v) * c["cols"] \
+                            + (mx * c["h"] + hh)
+                        preds[si] = _dc_code_block(
+                            bw, int(c["blocks"][bi][0]), preds[si],
+                            ah, al)
+    else:
+        c = comps[comp_ids[0]]
+        pred = 0
+        for by in range(c["ni_rows"]):
+            for bx in range(c["ni_cols"]):
+                bi = by * c["cols"] + bx
+                pred = _dc_code_block(bw, int(c["blocks"][bi][0]),
+                                      pred, ah, al)
+
+
+def _emit_ac_scan(bw: _BitWriter, c: dict, ss: int, se: int,
+                  ah: int, al: int) -> None:
+    """One component's AC band scan (first pass when Ah=0, refinement
+    when Ah>0), with the shared EOB-run + buffered-correction-bit
+    state of G.1.2.2/G.1.2.3."""
+    eobrun = 0
+    corr: list[int] = []                     # bits buffered behind EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, corr
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, width = _AC_CODE_PROG[nbits << 4]
+            bw.write(code, width)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            for b in corr:
+                bw.write(b, 1)
+        eobrun = 0
+        corr = []
+
+    for by in range(c["ni_rows"]):
+        for bx in range(c["ni_cols"]):
+            row = c["blocks"][by * c["cols"] + bx]
+            vals = [int(row[k]) for k in range(ss, se + 1)]
+            if ah == 0:                      # first pass for this band
+                tv = [(abs(v) >> al) * (1 if v >= 0 else -1)
+                      for v in vals]
+                nz = [i for i, v in enumerate(tv) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                r = 0
+                for i in range(nz[-1] + 1):
+                    v = tv[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, width = _AC_CODE_PROG[0xF0]
+                        bw.write(code, width)
+                        r -= 16
+                    s, bits = _magnitude(v)
+                    code, width = _AC_CODE_PROG[(r << 4) | s]
+                    bw.write(code, width)
+                    bw.write(bits, s)
+                    r = 0
+                if nz[-1] < len(tv) - 1:     # trailing zeros join EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+            else:                            # refinement pass
+                absv = [abs(v) >> al for v in vals]
+                eob = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i              # last newly-nonzero position
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush()
+                        code, width = _AC_CODE_PROG[0xF0]
+                        bw.write(code, width)
+                        r -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if t > 1:                # history coefficient: 1 bit
+                        br.append(t & 1)
+                        continue
+                    flush()                  # newly-nonzero: run + sign
+                    code, width = _AC_CODE_PROG[(r << 4) | 1]
+                    bw.write(code, width)
+                    bw.write(1 if vals[i] > 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    corr.extend(br)
+                    if eobrun == 0x7FFF or len(corr) > 900:
+                        flush()
+    flush()
 
 
 # --- decoder -----------------------------------------------------------------
@@ -414,6 +619,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     htables: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
+    stores: dict[int, np.ndarray] = {}
+    any_scan = False
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -471,10 +678,23 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"w": fw, "h": fh, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) not supported — baseline "
-                "sequential decoder only")
+        elif marker == 0xC2:                        # SOF2 progressive
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if fw * fh > _MAX_PIXELS:
+                raise ValueError("jpeg: unreasonable frame dimensions")
+            if prec != 8:
+                raise NotImplementedError(
+                    f"jpeg: {prec}-bit precision not supported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF segment")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": fw, "h": fh, "comps": comps,
+                     "progressive": True}
+            stores = _alloc_stores(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -495,9 +715,24 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 if comp is None:
                     raise ValueError("jpeg: scan names unknown component")
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(data, pos, frame, scan, qtables,
-                                htables, restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scan, qtables,
+                                    htables, restart_interval)
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("jpeg: truncated progressive SOS")
+            ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, htables, restart_interval,
+                stores, ss, se, ahal >> 4, ahal & 0x0F)
+            any_scan = True
         # APPn / COM / others: skipped
+    if frame is not None and frame.get("progressive") and any_scan:
+        comp = frame["comps"][0]
+        if comp["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+        rows, cols, _, _ = _comp_geometry(frame, comp)
+        return _reconstruct_luma(stores[comp["id"]], qtables[comp["tq"]],
+                                 rows, cols, comp, frame)
     raise ValueError("jpeg: no scan data found")
 
 
@@ -568,14 +803,25 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
 
     # reconstruct ONLY the luminance component (first scan component)
     g = geo[0]
-    comp = g["comp"]
-    deq = g["store"] * g["q"][np.newaxis, :]
+    return _reconstruct_luma(g["store"], g["q"], g["rows"], g["cols"],
+                             g["comp"], frame)
+
+
+def _reconstruct_luma(store: np.ndarray, q: np.ndarray, rows: int,
+                      cols: int, comp: dict, frame: dict
+                      ) -> tuple[int, int, bytes]:
+    """Dequantize + IDCT the luminance coefficient store (zigzag rows)
+    into the frame-sized raster — shared by the sequential and
+    progressive paths."""
+    fw, fh = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    deq = store * q[np.newaxis, :]
     nat = np.zeros_like(deq)
     nat[:, ZIGZAG] = deq                       # zigzag rows -> natural
     blocks = nat.reshape(-1, 8, 8).astype(np.float64)
     pix = np.einsum("xu,buv,vy->bxy", _C.T, blocks, _C)
     pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
-    rows, cols = g["rows"], g["cols"]
     plane = (pix.reshape(rows, cols, 8, 8)
              .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
     # luminance plane resolution (h/hmax scale), cropped to frame dims
@@ -588,3 +834,207 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
         xi = (np.arange(fw) * out_w // fw).clip(0, out_w - 1)
         plane = plane[yi][:, xi]
     return fw, fh, plane.tobytes()
+
+
+# --- progressive decoding (T.81 Annex G) -------------------------------------
+
+def _comp_geometry(frame: dict, comp: dict) -> tuple[int, int, int, int]:
+    """(padded_rows, padded_cols, ni_rows, ni_cols) for one component:
+    the coefficient store is MCU-padded (interleaved geometry); a
+    NON-interleaved scan covers only the first ni_rows × ni_cols blocks
+    of it (component-dimension geometry, T.81 A.2.2)."""
+    fw, fh = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cols = -(-fw // (8 * hmax)) * comp["h"]
+    rows = -(-fh // (8 * vmax)) * comp["v"]
+    cw = -(-fw * comp["h"] // hmax)          # component width in samples
+    ch = -(-fh * comp["v"] // vmax)
+    ni_cols = -(-cw // 8)
+    ni_rows = -(-ch // 8)
+    return rows, cols, ni_rows, ni_cols
+
+
+def _alloc_stores(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component zigzag coefficient stores that persist across the
+    scans of a progressive frame."""
+    stores = {}
+    for comp in frame["comps"]:
+        if not (1 <= comp["h"] <= 2 and 1 <= comp["v"] <= 2):
+            raise NotImplementedError(
+                "jpeg: sampling factors beyond 2x2 not supported")
+        rows, cols, _, _ = _comp_geometry(frame, comp)
+        if rows * cols > _MAX_PIXELS // 64:
+            raise ValueError("jpeg: unreasonable frame dimensions")
+        stores[comp["id"]] = np.zeros((rows * cols, 64), dtype=np.int64)
+    return stores
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker (not FF00 stuffing, not RSTn)
+    at or after ``pos`` — resynchronizes after a scan's entropy data."""
+    n = len(data)
+    while True:
+        p = data.find(b"\xff", pos)
+        if p < 0 or p + 1 >= n:
+            return n
+        nxt = data[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7 or nxt == 0xFF:
+            pos = p + 2 if nxt != 0xFF else p + 1
+            continue
+        return p
+
+
+def _refine_nonzero(reader: _BitReader, row: np.ndarray, k: int,
+                    se: int, p1: int, m1: int, stop_at_zero: int) -> int:
+    """AC-refinement inner loop (G.1.2.3): emit correction bits for
+    nonzero-history coefficients from k through ``se``; when
+    ``stop_at_zero`` >= 0, stop at the (stop_at_zero+1)-th zero-history
+    position instead.  Returns the stop index."""
+    r = stop_at_zero
+    while k <= se:
+        c = int(row[k])
+        if c != 0:
+            if reader.read_bit() and (c & p1) == 0:
+                row[k] = c + (p1 if c >= 0 else m1)
+        else:
+            if r == 0:
+                break
+            r -= 1
+        k += 1
+    return k
+
+
+def _decode_progressive_scan(data, pos, frame, scan, htables,
+                             restart_interval, stores,
+                             ss, se, ah, al) -> int:
+    """Decode one progressive scan into the persistent coefficient
+    stores; returns the offset of the next marker after the scan."""
+    if ss > 63 or se > 63 or se < ss or al > 13:
+        raise ValueError("jpeg: invalid progressive scan parameters")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("jpeg: DC scan with Se != 0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("jpeg: interleaved AC progressive scan")
+    reader = _BitReader(data, pos)
+    p1, m1 = 1 << al, -(1 << al)
+
+    geo = []
+    for comp, td, ta in scan:
+        rows, cols, ni_rows, ni_cols = _comp_geometry(frame, comp)
+        if is_dc:
+            if ah == 0 and (0, td) not in htables:
+                raise ValueError("jpeg: missing huffman table")
+            tab = htables.get((0, td))
+        else:
+            if (1, ta) not in htables:
+                raise ValueError("jpeg: missing huffman table")
+            tab = htables[(1, ta)]
+        geo.append({"comp": comp, "store": stores[comp["id"]],
+                    "cols": cols, "ni_rows": ni_rows, "ni_cols": ni_cols,
+                    "tab": tab})
+
+    preds = [0] * len(scan)
+    eobrun = 0
+
+    def dc_block(si: int, row: np.ndarray) -> None:
+        nonlocal preds
+        if ah == 0:                          # first DC scan
+            s = _huff_decode(reader, geo[si]["tab"])
+            if s > 11:
+                raise ValueError("jpeg: DC size category > 11")
+            preds[si] += _extend(reader.read_bits(s), s)
+            row[0] = preds[si] << al
+        else:                                # DC refinement: one bit
+            if reader.read_bit():
+                row[0] = int(row[0]) | p1
+
+    def ac_block(row: np.ndarray) -> None:
+        nonlocal eobrun
+        tab = geo[0]["tab"]
+        if ah == 0:                          # first AC scan for band
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16                  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC run past band end")
+                row[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:                                # AC refinement (G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg: invalid AC refinement size")
+                        newval = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        newval = 0           # ZRL: skip 16 zero-history
+                    k = _refine_nonzero(reader, row, k, se, p1, m1, r)
+                    if newval and k <= se:
+                        row[k] = newval
+                    k += 1
+            if eobrun > 0:
+                _refine_nonzero(reader, row, k, se, p1, m1, -1)
+                eobrun -= 1
+
+    if is_dc and len(scan) > 1:
+        # interleaved DC scan: MCU walk (same geometry as sequential)
+        fw, fh = frame["w"], frame["h"]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(scan)
+                eobrun = 0
+            my, mx = divmod(m, mcus_x)
+            for si, g in enumerate(geo):
+                c = g["comp"]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        bi = (my * c["v"] + v) * g["cols"] \
+                            + (mx * c["h"] + hh)
+                        dc_block(si, g["store"][bi])
+    else:
+        # non-interleaved walk over the component's own block grid
+        g = geo[0]
+        i = 0
+        for by in range(g["ni_rows"]):
+            for bx in range(g["ni_cols"]):
+                if restart_interval and i and i % restart_interval == 0:
+                    reader.restart()
+                    preds = [0] * len(scan)
+                    eobrun = 0
+                i += 1
+                row = g["store"][by * g["cols"] + bx]
+                if is_dc:
+                    dc_block(0, row)
+                else:
+                    ac_block(row)
+
+    return _next_marker(data, reader.pos)

@@ -56,9 +56,10 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
     real JPEG — the same pixel function either way, so the decode stage
     is tested end-to-end against real containers (GIF joined in round 3
     via the from-scratch LZW codec in core/gif.py; JPEG in round 4 via
-    the from-scratch baseline codec in core/jpeg.py, cycling gray /
-    4:4:4 / 4:2:0 subsampling).  JPEG is DCT-lossy: its pixels
-    round-trip within ±2 of the raster function, never exactly."""
+    the from-scratch codec in core/jpeg.py, cycling gray / 4:4:4 /
+    4:2:0 subsampling AND baseline-sequential / progressive (SOF2)
+    coding).  JPEG is DCT-lossy: its pixels round-trip within ±2 of
+    the raster function, never exactly."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     media, mtype, width, height = [], [], [], []
@@ -86,7 +87,8 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
 
             sub = ("gray", "444", "420")[(i // 5) % 3]
             media.append(encode_jpeg(w, h, _synth_raster(i, w, h),
-                                     subsampling=sub))
+                                     subsampling=sub,
+                                     progressive=(i // 15) % 2 == 1))
             mtype.append(JPEG_MEDIA_TYPE)
         width.append(w)
         height.append(h)
