@@ -297,9 +297,13 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 data = payload[data_start : es if es != -1 else n]
                 tail = payload.find(b"endobj", es if es != -1 else n)
                 pos = tail + 6 if tail != -1 else n
-            if b"/FlateDecode" in header:
-                try:
-                    data = zlib.decompress(data)
+            if b"/Filter" in header:
+                from .pdf_filters import apply_stream_filters
+
+                data = apply_stream_filters(header, data)
+            elif b"/FlateDecode" in header:      # pre-round-4 tolerance:
+                try:                             # Flate named outside a
+                    data = zlib.decompress(data)  # /Filter entry
                 except zlib.error:
                     data = b""
             objects[num] = (header, data)

@@ -227,10 +227,15 @@ def differences_array(cmap: dict[str, int]) -> str:
     return "[ " + " ".join(parts) + " ]"
 
 
-def build_pdf(pages: list[PageBuilder], compress: bool = False,
+def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
               code_map: dict[str, int] | None = None,
               encoding_style: str = "tounicode") -> bytes:
     """Assemble a complete PDF with xref table and trailer.
+
+    ``compress``: False = plain streams; True = /FlateDecode; or a
+    filter spec string for ``pdf_filters.encode_stream`` ("lzw",
+    "a85+flate", "ahx", "rl", "flate-pred", ...) — content streams
+    round-trip through core/pdf.py's filter chain either way.
 
     ``code_map``: char→code map; when given, /F1 becomes a custom font
     whose mapping is declared per ``encoding_style`` — 'tounicode'
@@ -259,8 +264,11 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False,
         )
         data = page.content()
         if compress:
-            data = zlib.compress(data, 6)
-            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+            from .pdf_filters import encode_stream
+
+            spec = "flate" if compress is True else compress
+            data, entry = encode_stream(data, spec)
+            head = (f"<< /Length {len(data)}".encode() + entry + b" >>")
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")

@@ -205,6 +205,18 @@ _PDF_CJK_LINES = [
 ]
 
 
+# corpus v=8: PDF content streams cycle the round-4 filter set —
+# mostly Flate (the real-PDF majority) with LZW / ASCII85+Flate /
+# RunLength / Flate+PNG-predictor minorities exercising the full
+# core/pdf_filters.py decode chain end to end
+_STREAM_SPECS = [False, True, True, True, "lzw", "a85+flate", "rl",
+                 "flate-pred"]
+
+
+def _stream_spec(rng: random.Random):
+    return rng.choice(_STREAM_SPECS)
+
+
 def _pdf_payload(rng: random.Random) -> bytes:
     if rng.random() < 0.25:
         # scanned-document PDF (corpus v=4, widened in v=5/v=6): no
@@ -276,17 +288,17 @@ def _pdf_payload(rng: random.Random) -> bytes:
         from ..core.pdf_write import make_code_map
 
         return build_pdf(
-            pages, compress=rng.random() < 0.5,
+            pages, compress=_stream_spec(rng),
             code_map=make_code_map(unicode_lines),
             encoding_style=rng.choice(["tounicode", "differences"]))
     if cid_lines is not None:
         from ..core.pdf_write import make_cid_map
 
         return build_pdf(
-            pages, compress=rng.random() < 0.5,
+            pages, compress=_stream_spec(rng),
             code_map=make_cid_map(cid_lines),
             encoding_style="cid")
-    return build_pdf(pages, compress=rng.random() < 0.5)
+    return build_pdf(pages, compress=_stream_spec(rng))
 
 
 def _giant_html(rng: random.Random, lang: str, cap_bytes: int) -> bytes:
@@ -368,7 +380,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=7"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=8"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
