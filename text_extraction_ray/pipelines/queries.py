@@ -46,6 +46,7 @@ from ..functions.textstats import (
 )
 
 from .extraction import default_concurrency as _dconc
+from .extraction import heavy_concurrency as _hconc
 
 _PYA = {"batch_format": "pyarrow"}
 
@@ -571,7 +572,7 @@ def q_multimodal(sf_dir: str) -> ray.data.Dataset:
     media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         synth_media_batch, **_PYA)
     return media.map_batches(
-        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
+        FakeMediaDecoder, concurrency=_hconc(), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 

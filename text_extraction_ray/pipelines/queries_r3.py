@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .extraction import default_concurrency as _conc
+from .extraction import heavy_concurrency as _conc
 
 _PYA = {"batch_format": "pyarrow"}
 

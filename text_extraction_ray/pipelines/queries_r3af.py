@@ -21,7 +21,7 @@ from ..functions.table_image import (TableImageExtractor,
                                      synth_table_image2_batch,
                                      synth_table_image_batch)
 
-from .extraction import default_concurrency as _conc
+from .extraction import heavy_concurrency as _conc
 
 _PYA = {"batch_format": "pyarrow"}
 

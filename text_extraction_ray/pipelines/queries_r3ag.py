@@ -23,7 +23,7 @@ import ray.data
 
 from ..functions.table_image import TableImageExtractor, render_table_image
 
-from .extraction import default_concurrency as _conc
+from .extraction import heavy_concurrency as _conc
 
 _PYA = {"batch_format": "pyarrow"}
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import ray.data
 
-from .extraction import default_concurrency as _conc
+from .extraction import heavy_concurrency as _conc
 
 _PYA = {"batch_format": "pyarrow"}
 
