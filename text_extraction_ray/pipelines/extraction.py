@@ -47,7 +47,7 @@ def _default_concurrency() -> tuple[int, int]:
 default_concurrency = _default_concurrency
 
 
-def heavy_concurrency() -> tuple[int, int]:
+def heavy_concurrency(pools: int = 1) -> tuple[int, int]:
     """Pool sizing for SCAN-SHAPED heavy stages (page OCR, media
     decode): read → actor pool → materialize, no shuffle in the same
     pipeline.  min=1 autoscaling ramps too slowly for 10-second
@@ -55,19 +55,21 @@ def heavy_concurrency() -> tuple[int, int]:
     effective), so these get a warm floor — but the ceiling stays
     BELOW cluster CPUs: a pool that reserves every CPU deadlocks the
     upstream read task (measured: concurrency=(32,32) on a 32-CPU box
-    never finishes).  ONE heavy pool per pipeline: two warm floors in
-    the same pipeline (e.g. resize→decode) over-reserve a small box
-    and deadlock the read the same way (measured at 8 CPUs).  Never
-    use this for pipelines with a downstream groupby/sort/join either
-    — the floor's reserved CPUs would starve the shuffle; that's what
-    default_concurrency is for.
+    never finishes).  A pipeline with SEVERAL heavy pools must pass
+    ``pools=N`` so every pool gets 1/N of the CPU budget: two
+    full-budget warm floors in one pipeline (e.g. resize→decode)
+    over-reserve a small box and deadlock the read the same way
+    (measured at 8 CPUs).  Never use this for pipelines with a
+    downstream groupby/sort/join either — the floor's reserved CPUs
+    would starve the shuffle; that's what default_concurrency is for.
     Measured at sf0.1 page-OCR on 32 CPUs: (1,30) 13.6s, (8,30)
     10.7s, (20,24) 8.1s, (24,28) 8.3s — plateau by floor ~20."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    hi = max(2, cpus - max(1, cpus // 8))   # leave slots for the read
+    share = max(2, cpus // max(1, pools))
+    hi = max(2, share - max(1, share // 8))  # leave slots for the read
     lo = max(1, (hi * 3) // 4)
     return (lo, hi)
 

@@ -585,10 +585,10 @@ def q_media_resize(sf_dir: str) -> ray.data.Dataset:
     media = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         synth_media_batch, **_PYA)
     resized = media.map_batches(
-        FakeImageResizer, concurrency=_dconc(), batch_size=16,
+        FakeImageResizer, concurrency=_hconc(pools=2), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
     return resized.map_batches(
-        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
+        FakeMediaDecoder, concurrency=_hconc(pools=2), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -600,10 +600,10 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
     video = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
         synth_video_batch, **_PYA)
     frames = video.map_batches(
-        FrameSampler, concurrency=_dconc(), batch_size=8,
+        FrameSampler, concurrency=_hconc(pools=2), batch_size=8,
         batch_format="pyarrow", zero_copy_batch=True)
     return frames.map_batches(
-        FakeMediaDecoder, concurrency=_dconc(), batch_size=16,
+        FakeMediaDecoder, concurrency=_hconc(pools=2), batch_size=16,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
