@@ -335,3 +335,47 @@ def test_cid_unmapped_code_degrades_to_replacement():
     shown, glyphs = _show_through(s, m)
     assert shown == "漢�"
     assert glyphs == 2
+
+
+def test_dct_scanned_pdfs_extract_identically_to_flate():
+    """Round 4: scanned PDFs with JPEG-compressed image XObjects
+    (/DCTDecode, baseline AND progressive — the real-world scanned-PDF
+    shape) must extract byte-identically to their lossless Flate twins:
+    near-lossless JPEG (±2 gray) never crosses the OCR binarization
+    threshold on the 0/255 scan population."""
+    from text_extraction_ray.core.pdf import extract_pdf, pdf_tables
+    from text_extraction_ray.core.pdf_write import build_image_pdf
+    from text_extraction_ray.functions.table_image import (
+        render_page_image_skewed,
+        render_table_image,
+        render_table_image_skewed,
+    )
+
+    for sid in (0, 7, 23):
+        for fn in (render_table_image, render_table_image_skewed,
+                   render_page_image_skewed):
+            imgs = [fn(sid)]
+            ref = extract_pdf(build_image_pdf(imgs, image_filter="flate"))
+            assert ref["extracted_text"]
+            for f in ("dct", "dct-prog"):
+                assert extract_pdf(
+                    build_image_pdf(imgs, image_filter=f)) == ref
+        grids = pdf_tables(build_image_pdf([render_table_image(sid)],
+                                           image_filter="dct"))
+        assert grids and all("\t" in g for g in grids)
+
+
+def test_corrupt_dct_image_keeps_raw_bytes():
+    """A truncated/garbage DCT payload must fall through to the raw
+    bytes so the caller's error routing sees it — never an exception."""
+    from text_extraction_ray.core.pdf import pdf_images
+    from text_extraction_ray.core.pdf_write import build_image_pdf
+    from text_extraction_ray.functions.table_image import render_table_image
+
+    pdf = build_image_pdf([render_table_image(3)], image_filter="dct")
+    # corrupt every JPEG SOI inside the file so decode fails
+    broken = pdf.replace(b"\xff\xd8\xff", b"\xff\x00\xff")
+    imgs = pdf_images(broken)
+    assert imgs                      # the object still surfaces
+    w, h, data = imgs[0]
+    assert len(data) != w * h        # raw (undecoded) bytes, not a raster

@@ -810,8 +810,22 @@ def pdf_images(payload: bytes,
             continue
         wm = _IMG_WIDTH_RE.search(header)
         hm = _IMG_HEIGHT_RE.search(header)
-        if wm and hm:
-            out.append((int(wm.group(1)), int(hm.group(1)), data))
+        if not (wm and hm):
+            continue
+        if b"/DCTDecode" in header:
+            # real scanned PDFs are JPEG-compressed: the filter chain
+            # left the DCT bytes raw for the raster layer (round 4);
+            # decode failures keep the raw bytes so the caller's error
+            # routing sees them, same as any other non-gray payload
+            from .jpeg import decode_jpeg
+
+            try:
+                jw, jh, gray = decode_jpeg(data)
+                if (jw, jh) == (int(wm.group(1)), int(hm.group(1))):
+                    data = gray
+            except (ValueError, NotImplementedError):
+                pass
+        out.append((int(wm.group(1)), int(hm.group(1)), data))
     return out
 
 

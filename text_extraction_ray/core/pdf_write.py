@@ -329,12 +329,16 @@ def _assemble_pdf(objects: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def build_image_pdf(images: list[tuple[int, int, bytes]]) -> bytes:
+def build_image_pdf(images: list[tuple[int, int, bytes]],
+                    image_filter: str = "flate") -> bytes:
     """A 'scanned' PDF: one page per (w, h, grayscale raster), each an
-    /XObject /Image (8-bit /DeviceGray, /FlateDecode) drawn full-page —
-    the shape of a real scanned-document crawl PDF, closing the loop for
-    the scanned-table OCR pipeline (functions/table_image.py reads the
-    tables back out of the extracted images)."""
+    /XObject /Image (8-bit /DeviceGray) drawn full-page — the shape of
+    a real scanned-document crawl PDF, closing the loop for the
+    scanned-table OCR pipeline (functions/table_image.py reads the
+    tables back out of the extracted images).  ``image_filter``:
+    'flate' (lossless zlib), 'dct' (baseline JPEG via core/jpeg.py,
+    flat quant = near-lossless ±2 — REAL scanned PDFs are
+    DCT-compressed) or 'dct-prog' (progressive JPEG)."""
     objects: list[bytes] = []
     n_pages = len(images)
     kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
@@ -355,10 +359,20 @@ def build_image_pdf(images: list[tuple[int, int, bytes]]) -> bytes:
         objects.append(
             f"<< /Length {len(content)} >>".encode()
             + b"\nstream\n" + content + b"\nendstream")
-        data = zlib.compress(gray, 6)
+        if image_filter == "flate":
+            data = zlib.compress(gray, 6)
+            filt = "/FlateDecode"
+        elif image_filter in ("dct", "dct-prog"):
+            from .jpeg import encode_jpeg
+
+            data = encode_jpeg(w, h, gray, subsampling="gray",
+                               progressive=image_filter == "dct-prog")
+            filt = "/DCTDecode"
+        else:
+            raise ValueError(f"unknown image_filter {image_filter!r}")
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {w} "
              f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "
-             f"/Length {len(data)} /Filter /FlateDecode >>").encode()
+             f"/Length {len(data)} /Filter {filt} >>").encode()
             + b"\nstream\n" + data + b"\nendstream")
     return _assemble_pdf(objects)

@@ -30,15 +30,21 @@ _PYA = {"batch_format": "pyarrow"}
 
 def synth_scanned_pdf_batch(batch: pa.Table,
                             id_col: str = "doc_id") -> pa.Table:
-    """One single-page scanned PDF per row (the table raster embedded
-    as a Flate-compressed grayscale image XObject)."""
+    """One single-page scanned PDF per row, the table raster embedded
+    as a grayscale image XObject cycling Flate / baseline-JPEG /
+    progressive-JPEG compression by doc_id (round 4: real scanned PDFs
+    are DCT-compressed; the oracle is unchanged because near-lossless
+    JPEG keeps the binarized OCR read exact)."""
     from ..core.pdf_write import build_image_pdf
 
     ids = batch.column(id_col).to_pylist()
     return pa.table({
         "doc_id": pa.array(ids, type=pa.int64()),
-        "pdf": pa.array([build_image_pdf([render_table_image(i)])
-                         for i in ids], type=pa.binary()),
+        "pdf": pa.array(
+            [build_image_pdf(
+                [render_table_image(i)],
+                image_filter=("flate", "dct", "dct-prog")[i % 3])
+             for i in ids], type=pa.binary()),
     })
 
 
