@@ -801,6 +801,7 @@ def queries() -> dict:
     from .queries_r3ai import queries_r3ai
     from .queries_r3aj import queries_r3aj
     from .queries_r3ak import queries_r3ak
+    from .queries_r4 import queries_r4
 
     base.update(queries_r3af())
     base.update(queries_r3ag())
@@ -808,6 +809,7 @@ def queries() -> dict:
     base.update(queries_r3ai())
     base.update(queries_r3aj())
     base.update(queries_r3ak())
+    base.update(queries_r4())
     sql = oracle_sql()
     parity = parity_oracle_names()
     # Driver-window block (first 50), byte-identical to rounds 1-3's
@@ -909,6 +911,7 @@ def _parity_sql_merged() -> dict[str, str]:
     from .queries_r3ah import parity_sql_r3ah
     from .queries_r3aj import parity_sql_r3aj
     from .queries_r3ak import parity_sql_r3ak
+    from .queries_r4 import parity_sql_r4
 
     merged: dict[str, str] = {}
     for fn in (parity_sql_r3, parity_sql_r3b, parity_sql_r3c,
@@ -916,7 +919,7 @@ def _parity_sql_merged() -> dict[str, str]:
                parity_sql_r3g, parity_sql_r3h, parity_sql_r3i,
                parity_sql_r3j, parity_sql_r3k, parity_sql_r3m,
                parity_sql_r3n, parity_sql_r3p, parity_sql_r3ah,
-               parity_sql_r3aj, parity_sql_r3ak):
+               parity_sql_r3aj, parity_sql_r3ak, parity_sql_r4):
         part = fn()
         dup = set(part) & set(merged)
         if dup:
