@@ -261,7 +261,18 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
     Uses /Length to slice streams exactly, so binary stream data can never
     be misread as markup.  Tolerates a truncated trailing object.
+
+    Encrypted files (M10f): when the trailer names a standard-security
+    /Encrypt dict openable with the EMPTY user password, each raw stream
+    slice is RC4-decrypted with its per-object key BEFORE filters run
+    (spec order, PDF 1.7 §7.6.2); files needing a real password or an
+    unsupported handler parse on the raw bytes and degrade as before.
     """
+    decryptor = None
+    if b"/Encrypt" in payload:
+        from .pdf_crypt import build_decryptor
+
+        decryptor = build_decryptor(payload)
     objects: dict[int, tuple[bytes, bytes | None]] = {}
     pos = 0
     n = len(payload)
@@ -297,6 +308,8 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 data = payload[data_start : es if es != -1 else n]
                 tail = payload.find(b"endobj", es if es != -1 else n)
                 pos = tail + 6 if tail != -1 else n
+            if decryptor is not None:
+                data = decryptor.decrypt(num, data)
             if b"/Filter" in header:
                 from .pdf_filters import apply_stream_filters
 

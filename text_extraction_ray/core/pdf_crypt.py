@@ -1,0 +1,235 @@
+"""PDF standard security handler (SURVEY §2.2 M10f): RC4 encryption.
+
+Real-crawl PDFs are frequently encrypted with an EMPTY user password
+(viewable-by-anyone, owner-restricted printing/copying) — per the PDF 1.7
+spec §7.6.3 such files must still open and extract.  Before this module
+an /Encrypt'ed payload parsed to cipher bytes and extracted nothing; now
+the standard security handler revisions 2 and 3 (V1 RC4-40 / V2 RC4-128)
+are decrypted from scratch with stdlib only (hashlib.md5 + a from-scratch
+RC4), matching the repo's closed writer↔parser discipline: pdf_write.py
+emits the same handler so fixtures round-trip.
+
+Spec algorithms implemented (PDF 1.7 §7.6.3.3–7.6.3.5):
+  - Algorithm 2: file encryption key from (padded) password, /O, /P, ID[0]
+  - Algorithm 3: the /O (owner) value
+  - Algorithm 4 (R2) / 5 (R3): the /U (user) value, used to VERIFY the
+    empty-user-password assumption before touching any stream — a file
+    that needs a real password is left untouched so extraction degrades
+    to the usual empty-text routing instead of emitting RC4 noise.
+  - Algorithm 1: per-object key = MD5(file_key + objnum[3 LE] + gen[2 LE])
+    truncated to min(n+5, 16).
+
+Scope: streams only.  Strings outside streams carry no extracted content
+in this engine (page text lives inside content streams, which are
+decrypted whole before the Tj/TJ interpreter runs), so string decryption
+is deliberately out of scope and documented here.  AES (/V 4 /AESV2) is
+detected and refused (returns None → payload handled as undecryptable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+# PDF 1.7 §7.6.3.3 — the 32-byte standard padding string.
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9a-fA-F]*)>")
+_NUM_ENTRY_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)")
+    for k in (b"V", b"R", b"P", b"Length")
+}
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """From-scratch RC4 (KSA + PRGA).  Symmetric: encrypt == decrypt."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = byte ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def file_key(o_value: bytes, p: int, id0: bytes, rev: int,
+             key_bytes: int, user_pw: bytes = b"") -> bytes:
+    """Algorithm 2: the file encryption key (empty user pw by default)."""
+    h = hashlib.md5()
+    h.update(_pad_password(user_pw))
+    h.update(o_value[:32])
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    digest = h.digest()
+    if rev >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_bytes]).digest()
+    return digest[:key_bytes]
+
+
+def owner_value(owner_pw: bytes, user_pw: bytes, rev: int,
+                key_bytes: int) -> bytes:
+    """Algorithm 3: the /O entry (owner_pw falls back to user_pw)."""
+    digest = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_bytes]
+    out = rc4(key, _pad_password(user_pw))
+    if rev >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+def user_value(fkey: bytes, id0: bytes, rev: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R3): the /U entry."""
+    if rev == 2:
+        return rc4(fkey, PAD)
+    digest = hashlib.md5(PAD + id0).digest()
+    out = rc4(fkey, digest)
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in fkey), out)
+    return out + b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
+
+
+def object_key(fkey: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5()
+    h.update(fkey)
+    h.update(struct.pack("<I", num)[:3])
+    h.update(struct.pack("<I", gen)[:2])
+    return h.digest()[: min(len(fkey) + 5, 16)]
+
+
+def _pdf_string(body: bytes, name: bytes) -> bytes | None:
+    """Value of ``/name <hex>`` or ``/name (literal)`` in a dict body.
+
+    Literal strings handle the escapes a binary /O//U value needs
+    (backslash pairs + octal); hex is the writer's canonical form.
+    """
+    m = re.search(rb"/" + name + rb"\s*<([0-9a-fA-F\s]*)>", body)
+    if m:
+        hx = re.sub(rb"\s+", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    m = re.search(rb"/" + name + rb"\s*\(", body)
+    if not m:
+        return None
+    out = bytearray()
+    i = m.end()
+    depth = 1
+    while i < len(body) and depth:
+        c = body[i]
+        if c == 0x5C and i + 1 < len(body):  # backslash escape
+            nxt = body[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, 1-3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < len(body) and len(oct_digits) < 3 \
+                        and 0x30 <= body[j] <= 0x37:
+                    oct_digits += body[j:j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                        0x66: 12}.get(nxt, nxt))
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                break
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+class PdfDecryptor:
+    """Resolved standard-security-handler state for one payload.
+
+    ``decrypt(num, data)`` is handed to pdf._parse_objects and applied to
+    each raw stream slice BEFORE filters run (spec order: decrypt, then
+    decode filters).  The /Encrypt dictionary's own (hypothetical) stream
+    and xref streams are never routed here by the writer subset.
+    """
+
+    def __init__(self, fkey: bytes, encrypt_num: int) -> None:
+        self.fkey = fkey
+        self.encrypt_num = encrypt_num
+
+    def decrypt(self, num: int, data: bytes) -> bytes:
+        if num == self.encrypt_num:
+            return data
+        return rc4(object_key(self.fkey, num), data)
+
+
+def build_decryptor(payload: bytes) -> PdfDecryptor | None:
+    """Inspect the trailer; return a verified decryptor or None.
+
+    None means "nothing to decrypt" — either the file is not encrypted,
+    the handler/algorithm is unsupported (AES, crypt filters), the
+    empty-user-password check against /U fails, or the /Encrypt object
+    can't be located.  Callers proceed on the raw payload in every None
+    case, preserving extractor totality (core/extract.py M11).
+    """
+    em = None
+    for em in _ENCRYPT_REF_RE.finditer(payload):
+        pass  # last trailer wins (incremental updates)
+    if em is None:
+        return None
+    num = int(em.group(1))
+    om = re.search(str(num).encode() + rb"\s+\d+\s+obj(.*?)endobj",
+                   payload, re.S)
+    if not om:
+        return None
+    body = om.group(1)
+    if b"/Standard" not in body:
+        return None
+    nums = {}
+    for k, pat in _NUM_ENTRY_RE.items():
+        m = pat.search(body)
+        nums[k] = int(m.group(1)) if m else None
+    v = nums[b"V"] or 1
+    rev = nums[b"R"] or (2 if v == 1 else 3)
+    if v not in (1, 2) or rev not in (2, 3):
+        return None  # AES / crypt filters / R4+: unsupported, untouched
+    key_bits = nums[b"Length"] or (40 if v == 1 else 128)
+    key_bytes = max(5, min(16, key_bits // 8))
+    p = nums[b"P"]
+    o_val = _pdf_string(body, b"O")
+    u_val = _pdf_string(body, b"U")
+    if p is None or o_val is None or u_val is None:
+        return None
+    idm = _ID_HEX_RE.search(payload)
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    fkey = file_key(o_val, p, id0, rev, key_bytes)
+    expect = user_value(fkey, id0, rev)
+    got, want = u_val[:16], expect[:16]
+    if rev == 2:
+        got, want = u_val[:32], expect[:32]
+    if got != want:
+        return None  # real user password required — leave ciphertext be
+    return PdfDecryptor(fkey, num)

@@ -229,7 +229,8 @@ def differences_array(cmap: dict[str, int]) -> str:
 
 def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
               code_map: dict[str, int] | None = None,
-              encoding_style: str = "tounicode") -> bytes:
+              encoding_style: str = "tounicode",
+              encrypt: str | bool = False) -> bytes:
     """Assemble a complete PDF with xref table and trailer.
 
     ``compress``: False = plain streams; True = /FlateDecode; or a
@@ -306,11 +307,67 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
     else:
         raise ValueError(f"unknown encoding_style {encoding_style!r}")
 
-    return _assemble_pdf(objects)
+    return _assemble_pdf(objects, encrypt=encrypt)
 
 
-def _assemble_pdf(objects: list[bytes]) -> bytes:
-    """Serialize 1-indexed object bodies + xref table + trailer."""
+_ENCRYPT_SPECS = {  # spec → (V, R, key bits)
+    "rc4-40": (1, 2, 40),
+    "rc4-128": (2, 3, 128),
+}
+
+
+def _encrypt_objects(objects: list[bytes],
+                     spec: str) -> tuple[list[bytes], bytes]:
+    """RC4-encrypt every stream body in place (M10f writer half).
+
+    Returns (objects + the /Encrypt dict appended, trailer additions).
+    Encryption is the OUTERMOST layer — applied after filter encoding,
+    mirroring core/pdf.py's decrypt-then-defilter order.  RC4 preserves
+    length so every already-written direct /Length stays valid.  Uses
+    empty owner AND user passwords (the dominant real-crawl case this
+    subset exists to exercise); /P -4 (all permissions).
+    """
+    from hashlib import md5
+
+    from .pdf_crypt import file_key, object_key, owner_value, rc4, user_value
+
+    v, rev, bits = _ENCRYPT_SPECS[spec]
+    key_bytes = bits // 8
+    id0 = md5(b"".join(objects)).digest()  # deterministic fixture ID
+    o_val = owner_value(b"", b"", rev, key_bytes)
+    p = -4
+    fkey = file_key(o_val, p, id0, rev, key_bytes)
+    u_val = user_value(fkey, id0, rev)
+    out: list[bytes] = []
+    for num, body in enumerate(objects, start=1):
+        sk = body.find(b"\nstream\n")
+        if sk != -1:
+            data_start = sk + len(b"\nstream\n")
+            data_end = body.rfind(b"\nendstream")
+            data = rc4(object_key(fkey, num),
+                       body[data_start:data_end])
+            body = body[:data_start] + data + body[data_end:]
+        out.append(body)
+    out.append(
+        (f"<< /Filter /Standard /V {v} /R {rev} /Length {bits} /P {p} "
+         f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode())
+    trailer_extra = (
+        f" /Encrypt {len(out)} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+    ).encode()
+    return out, trailer_extra
+
+
+def _assemble_pdf(objects: list[bytes],
+                  encrypt: str | bool = False) -> bytes:
+    """Serialize 1-indexed object bodies + xref table + trailer.
+
+    ``encrypt``: False, or "rc4-40" / "rc4-128" (True = "rc4-128") —
+    standard security handler, empty user password (see pdf_crypt.py).
+    """
+    trailer_extra = b""
+    if encrypt:
+        spec = "rc4-128" if encrypt is True else encrypt
+        objects, trailer_extra = _encrypt_objects(objects, spec)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -323,14 +380,15 @@ def _assemble_pdf(objects: list[bytes]) -> bytes:
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n"
-        "%%EOF\n"
-    ).encode()
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R".encode() + trailer_extra
+        + f" >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    )
     return bytes(out)
 
 
 def build_image_pdf(images: list[tuple[int, int, bytes]],
-                    image_filter: str = "flate") -> bytes:
+                    image_filter: str = "flate",
+                    encrypt: str | bool = False) -> bytes:
     """A 'scanned' PDF: one page per (w, h, grayscale raster), each an
     /XObject /Image (8-bit /DeviceGray) drawn full-page — the shape of
     a real scanned-document crawl PDF, closing the loop for the
@@ -375,4 +433,4 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
              f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "
              f"/Length {len(data)} /Filter {filt} >>").encode()
             + b"\nstream\n" + data + b"\nendstream")
-    return _assemble_pdf(objects)
+    return _assemble_pdf(objects, encrypt=encrypt)

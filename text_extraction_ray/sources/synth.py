@@ -217,6 +217,14 @@ def _stream_spec(rng: random.Random):
     return rng.choice(_STREAM_SPECS)
 
 
+def _encrypt_spec(rng: random.Random):
+    # corpus v=10: ~25% of PDFs carry the standard security handler with
+    # an empty user password (the dominant encrypted-crawl-PDF case) —
+    # RC4-128 twice as common as the legacy RC4-40; extraction must be
+    # byte-identical to the plaintext twin (core/pdf_crypt.py M10f)
+    return rng.choice([False] * 9 + ["rc4-128", "rc4-128", "rc4-40"])
+
+
 def _pdf_payload(rng: random.Random) -> bytes:
     if rng.random() < 0.25:
         # scanned-document PDF (corpus v=4, widened in v=5/v=6): no
@@ -250,7 +258,8 @@ def _pdf_payload(rng: random.Random) -> bytes:
         return build_image_pdf(
             [scan_image() for _ in range(rng.randint(1, 2))],
             image_filter=rng.choice(["flate", "flate", "dct",
-                                     "dct-prog"]))
+                                     "dct-prog"]),
+            encrypt=_encrypt_spec(rng))
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
     cid_lines: list[str] | None = None
@@ -295,15 +304,18 @@ def _pdf_payload(rng: random.Random) -> bytes:
         return build_pdf(
             pages, compress=_stream_spec(rng),
             code_map=make_code_map(unicode_lines),
-            encoding_style=rng.choice(["tounicode", "differences"]))
+            encoding_style=rng.choice(["tounicode", "differences"]),
+            encrypt=_encrypt_spec(rng))
     if cid_lines is not None:
         from ..core.pdf_write import make_cid_map
 
         return build_pdf(
             pages, compress=_stream_spec(rng),
             code_map=make_cid_map(cid_lines),
-            encoding_style="cid")
-    return build_pdf(pages, compress=_stream_spec(rng))
+            encoding_style="cid",
+            encrypt=_encrypt_spec(rng))
+    return build_pdf(pages, compress=_stream_spec(rng),
+                     encrypt=_encrypt_spec(rng))
 
 
 def _giant_html(rng: random.Random, lang: str, cap_bytes: int) -> bytes:
@@ -385,7 +397,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=9"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=10"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
