@@ -53,7 +53,7 @@ def _page(tag=""):
     return pb
 
 
-@pytest.mark.parametrize("enc", ["rc4-40", "rc4-128", True])
+@pytest.mark.parametrize("enc", ["rc4-40", "rc4-128", "aes-128", True])
 @pytest.mark.parametrize("comp", [False, True, "lzw", "a85+flate"])
 def test_extract_parity_encrypted_vs_plain(enc, comp):
     plain = extract_pdf(build_pdf([_page()], compress=comp))
@@ -63,6 +63,19 @@ def test_extract_parity_encrypted_vs_plain(enc, comp):
     assert got["spans"] == plain["spans"]
     assert pdf_tables(build_pdf([_page()], compress=comp, encrypt=enc)) \
         == pdf_tables(build_pdf([_page()], compress=comp))
+
+
+def test_aes_stream_layout():
+    """/AESV2 streams are IV-prefixed CBC with PKCS#7: the written
+    stream length is 16 (IV) + padded size, and the header /Length
+    was rewritten to the ciphertext size."""
+    import re
+
+    payload = build_pdf([_page()], encrypt="aes-128")
+    assert b"/AESV2" in payload and b"/StmF /StdCF" in payload
+    m = re.search(rb"/Length (\d+) >>\nstream\n", payload)
+    declared = int(m.group(1))
+    assert declared % 16 == 0 and declared >= 32  # IV + >=1 block
 
 
 @pytest.mark.parametrize("style,maker", [
@@ -91,14 +104,15 @@ def test_encrypted_unicode_fonts(style, maker):
     assert lines[0] in extract_pdf(enc)["extracted_text"]
 
 
+@pytest.mark.parametrize("enc", ["rc4-128", "aes-128"])
 @pytest.mark.parametrize("img_filter", ["flate", "dct"])
-def test_encrypted_scanned_pdf(img_filter):
+def test_encrypted_scanned_pdf(img_filter, enc):
     rng = np.random.default_rng(11)
     gray = rng.integers(200, 256, size=(64, 96), dtype=np.uint8).tobytes()
     plain = build_image_pdf([(96, 64, gray)], image_filter=img_filter)
-    enc = build_image_pdf([(96, 64, gray)], image_filter=img_filter,
-                          encrypt="rc4-128")
-    assert pdf_images(enc) == pdf_images(plain) != []
+    got = build_image_pdf([(96, 64, gray)], image_filter=img_filter,
+                          encrypt=enc)
+    assert pdf_images(got) == pdf_images(plain) != []
 
 
 @given(st.lists(st.text(
@@ -128,10 +142,32 @@ def test_tampered_u_refused():
     assert res["extracted_text"] == ""  # cipher never surfaces as text
 
 
-def test_aes_v4_refused():
-    payload = build_pdf([_page()], encrypt="rc4-128")
-    payload = payload.replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    assert pc.build_decryptor(payload) is None
+def test_unsupported_v4_variants_refused():
+    """V4 with a non-StdCF stream filter, EncryptMetadata false, a
+    crypt-filter method outside {AESV2, V2}, or AESV3/R5+ must all
+    refuse — only the exact supported envelope decrypts."""
+    aes_pdf = build_pdf([_page()], encrypt="aes-128")
+    assert pc.build_decryptor(aes_pdf) is not None
+    assert pc.build_decryptor(
+        aes_pdf.replace(b"/StmF /StdCF", b"/StmF /Other")) is None
+    assert pc.build_decryptor(
+        aes_pdf.replace(b"/P -4", b"/EncryptMetadata false /P -4")) is None
+    assert pc.build_decryptor(
+        aes_pdf.replace(b"/AESV2", b"/AESV3")) is None
+    rc4_pdf = build_pdf([_page()], encrypt="rc4-128")
+    assert pc.build_decryptor(
+        rc4_pdf.replace(b"/V 2 /R 3", b"/V 5 /R 6")) is None
+
+
+def test_tampered_aes_stream_totality():
+    """Bit-flipped AES ciphertext must still extract without raising
+    (CBC decrypt of garbage -> filter salvage -> empty/partial text)."""
+    payload = bytearray(build_pdf([_page()], compress=True,
+                                  encrypt="aes-128"))
+    i = payload.find(b"\nstream\n") + 8 + 20
+    payload[i] ^= 0xFF
+    res = extract_pdf(bytes(payload))
+    assert isinstance(res["extracted_text"], str)
 
 
 def test_unencrypted_passthrough():

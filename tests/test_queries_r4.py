@@ -27,8 +27,9 @@ def test_pdf_filter_parity_matches_duckdb(ray_session):
 
 def test_pdf_encrypt_parity_matches_duckdb(ray_session):
     """Driver-shaped DuckDB parity at two scales: every document's page
-    content extracts to ONE distinct text across plaintext and RC4-40 /
-    RC4-128 / RC4-128+Flate standard-security encryptions (M10f)."""
+    content extracts to ONE distinct text across plaintext, RC4-40,
+    RC4-128 (± Flate) and AES-128 /AESV2 (± Flate) standard-security
+    encryptions (M10f/M10g)."""
     from text_extraction_ray.pipelines.queries_r4 import (
         SQL_PDF_ENCRYPT_PARITY, q_pdf_encrypt_parity)
 
@@ -42,7 +43,7 @@ def test_pdf_encrypt_parity_matches_duckdb(ray_session):
             SQL_PDF_ENCRYPT_PARITY + " ORDER BY doc_id").fetchdf()
         assert len(got) == len(want) > 0
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
-        assert (got["n_variants"] == 4).all()
+        assert (got["n_variants"] == 6).all()
         assert (got["n_distinct"] == 1).all()
         assert got["has_text"].all()
 

@@ -1,13 +1,14 @@
-"""PDF standard security handler (SURVEY §2.2 M10f): RC4 encryption.
+"""PDF standard security handler (SURVEY §2.2 M10f/M10g): RC4 + AES.
 
 Real-crawl PDFs are frequently encrypted with an EMPTY user password
 (viewable-by-anyone, owner-restricted printing/copying) — per the PDF 1.7
 spec §7.6.3 such files must still open and extract.  Before this module
 an /Encrypt'ed payload parsed to cipher bytes and extracted nothing; now
-the standard security handler revisions 2 and 3 (V1 RC4-40 / V2 RC4-128)
-are decrypted from scratch with stdlib only (hashlib.md5 + a from-scratch
-RC4), matching the repo's closed writer↔parser discipline: pdf_write.py
-emits the same handler so fixtures round-trip.
+the standard security handler revisions 2–4 (V1 RC4-40 / V2 RC4-128 /
+V4 crypt filters with /CFM /AESV2 AES-128-CBC or /V2 RC4) is decrypted
+from scratch (hashlib.md5 + from-scratch RC4 here + FIPS-197 AES in
+core/aes.py), matching the repo's closed writer↔parser discipline:
+pdf_write.py emits the same handler so fixtures round-trip.
 
 Spec algorithms implemented (PDF 1.7 §7.6.3.3–7.6.3.5):
   - Algorithm 2: file encryption key from (padded) password, /O, /P, ID[0]
@@ -22,8 +23,10 @@ Spec algorithms implemented (PDF 1.7 §7.6.3.3–7.6.3.5):
 Scope: streams only.  Strings outside streams carry no extracted content
 in this engine (page text lives inside content streams, which are
 decrypted whole before the Tj/TJ interpreter runs), so string decryption
-is deliberately out of scope and documented here.  AES (/V 4 /AESV2) is
-detected and refused (returns None → payload handled as undecryptable).
+is deliberately out of scope and documented here.  Outside the subset —
+/AESV3 (R5/6 AES-256 + SHA-2 key derivation), EncryptMetadata false,
+non-/StdCF stream filters — detection refuses cleanly (returns None →
+payload handled as undecryptable, extraction degrades to empty text).
 """
 
 from __future__ import annotations
@@ -111,12 +114,16 @@ def user_value(fkey: bytes, id0: bytes, rev: int) -> bytes:
     return out + b"\x00" * 16  # 16 bytes of arbitrary padding (spec)
 
 
-def object_key(fkey: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def object_key(fkey: bytes, num: int, gen: int = 0,
+               aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key (RC4, or AES with the spec's
+    extra ``sAlT`` suffix for /AESV2)."""
     h = hashlib.md5()
     h.update(fkey)
     h.update(struct.pack("<I", num)[:3])
     h.update(struct.pack("<I", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
     return h.digest()[: min(len(fkey) + 5, 16)]
 
 
@@ -174,15 +181,28 @@ class PdfDecryptor:
     each raw stream slice BEFORE filters run (spec order: decrypt, then
     decode filters).  The /Encrypt dictionary's own (hypothetical) stream
     and xref streams are never routed here by the writer subset.
+
+    ``mode``: "rc4" (V1/V2, or a V4 /V2 crypt filter) or "aes" (V4
+    /AESV2) — AES streams carry their CBC IV in the first 16 bytes and
+    PKCS#7 padding (PDF 1.7 §7.6.2), both handled by core/aes.py.
     """
 
-    def __init__(self, fkey: bytes, encrypt_num: int) -> None:
+    def __init__(self, fkey: bytes, encrypt_num: int,
+                 mode: str = "rc4") -> None:
         self.fkey = fkey
         self.encrypt_num = encrypt_num
+        self.mode = mode
 
     def decrypt(self, num: int, data: bytes) -> bytes:
         if num == self.encrypt_num:
             return data
+        if self.mode == "aes":
+            if len(data) < 16:
+                return b""  # malformed: no room for the IV
+            from .aes import cbc_decrypt
+
+            return cbc_decrypt(object_key(self.fkey, num, aes=True),
+                               data[:16], data[16:])
         return rc4(object_key(self.fkey, num), data)
 
 
@@ -214,8 +234,24 @@ def build_decryptor(payload: bytes) -> PdfDecryptor | None:
         nums[k] = int(m.group(1)) if m else None
     v = nums[b"V"] or 1
     rev = nums[b"R"] or (2 if v == 1 else 3)
-    if v not in (1, 2) or rev not in (2, 3):
-        return None  # AES / crypt filters / R4+: unsupported, untouched
+    mode = "rc4"
+    if v == 4 and rev == 4:
+        # crypt filters: the default /StdCF applied to streams (/StmF).
+        # /AESV2 → AES-128-CBC; /V2 → RC4 under the V4 envelope.
+        # Non-/StdCF stream filters and /AESV3 (R5/6, AES-256 + SHA-2
+        # key derivation) are not in this subset → untouched.
+        stmf = re.search(rb"/StmF\s*/(\w+)", body)
+        if stmf and stmf.group(1) != b"StdCF":
+            return None
+        if b"/AESV2" in body:
+            mode = "aes"
+        elif b"/V2" not in body:
+            return None
+        if b"/EncryptMetadata false" in body or \
+                b"/EncryptMetadata\x20false" in body.replace(b"\n", b" "):
+            return None  # changes key derivation; out of subset
+    elif v not in (1, 2) or rev not in (2, 3):
+        return None  # AESV3 / R5+ etc.: unsupported, untouched
     key_bits = nums[b"Length"] or (40 if v == 1 else 128)
     key_bytes = max(5, min(16, key_bits // 8))
     p = nums[b"P"]
@@ -232,4 +268,4 @@ def build_decryptor(payload: bytes) -> PdfDecryptor | None:
         got, want = u_val[:32], expect[:32]
     if got != want:
         return None  # real user password required — leave ciphertext be
-    return PdfDecryptor(fkey, num)
+    return PdfDecryptor(fkey, num, mode)

@@ -313,25 +313,39 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
 _ENCRYPT_SPECS = {  # spec → (V, R, key bits)
     "rc4-40": (1, 2, 40),
     "rc4-128": (2, 3, 128),
+    "aes-128": (4, 4, 128),
 }
+
+_LENGTH_SUB_RE = None  # lazy-compiled in _encrypt_objects
 
 
 def _encrypt_objects(objects: list[bytes],
                      spec: str) -> tuple[list[bytes], bytes]:
-    """RC4-encrypt every stream body in place (M10f writer half).
+    """Encrypt every stream body in place (M10f/M10g writer half).
 
     Returns (objects + the /Encrypt dict appended, trailer additions).
     Encryption is the OUTERMOST layer — applied after filter encoding,
     mirroring core/pdf.py's decrypt-then-defilter order.  RC4 preserves
-    length so every already-written direct /Length stays valid.  Uses
-    empty owner AND user passwords (the dominant real-crawl case this
-    subset exists to exercise); /P -4 (all permissions).
+    length so every already-written direct /Length stays valid; AES
+    (IV prefix + PKCS#7 padding) grows the stream, so the header's
+    direct /Length is REWRITTEN to the ciphertext size (the spec's
+    /Length is the file-bytes length, post-encryption).  Uses empty
+    owner AND user passwords (the dominant real-crawl case this subset
+    exists to exercise); /P -4 (all permissions); AES IVs derived
+    deterministically from (file ID, object number) so fixtures stay
+    byte-reproducible.
     """
+    import re as _re
     from hashlib import md5
 
     from .pdf_crypt import file_key, object_key, owner_value, rc4, user_value
 
+    global _LENGTH_SUB_RE
+    if _LENGTH_SUB_RE is None:
+        _LENGTH_SUB_RE = _re.compile(rb"/Length\s+\d+")
+
     v, rev, bits = _ENCRYPT_SPECS[spec]
+    aes = spec == "aes-128"
     key_bytes = bits // 8
     id0 = md5(b"".join(objects)).digest()  # deterministic fixture ID
     o_val = owner_value(b"", b"", rev, key_bytes)
@@ -344,13 +358,26 @@ def _encrypt_objects(objects: list[bytes],
         if sk != -1:
             data_start = sk + len(b"\nstream\n")
             data_end = body.rfind(b"\nendstream")
-            data = rc4(object_key(fkey, num),
-                       body[data_start:data_end])
-            body = body[:data_start] + data + body[data_end:]
+            plain = body[data_start:data_end]
+            if aes:
+                from .aes import cbc_encrypt
+
+                iv = md5(id0 + num.to_bytes(4, "little")).digest()
+                data = iv + cbc_encrypt(object_key(fkey, num, aes=True),
+                                        iv, plain)
+                header = _LENGTH_SUB_RE.sub(
+                    b"/Length " + str(len(data)).encode(),
+                    body[:sk], count=1)
+            else:
+                data = rc4(object_key(fkey, num), plain)
+                header = body[:sk]
+            body = header + b"\nstream\n" + data + body[data_end:]
         out.append(body)
+    cf = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+          "/StmF /StdCF /StrF /StdCF" if aes else "")
     out.append(
-        (f"<< /Filter /Standard /V {v} /R {rev} /Length {bits} /P {p} "
-         f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode())
+        (f"<< /Filter /Standard /V {v} /R {rev} /Length {bits}{cf} "
+         f"/P {p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode())
     trailer_extra = (
         f" /Encrypt {len(out)} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
     ).encode()

@@ -11,10 +11,11 @@ oracle, here several PHYSICAL ENCODINGS behind one logical document.
 Registered through the parity harness so the driver's pinned 50-row
 window is untouched (queries.py layout note).
 
-`pdf_encrypt_parity` (M10f, tests/test_pdf_crypt.py) is the same shape
-over the standard security handler: plaintext vs RC4-40 vs RC4-128 vs
-RC4-128+Flate builds of one document must extract identically — the
-empty-user-password decrypt path (core/pdf_crypt.py) proven per doc.
+`pdf_encrypt_parity` (M10f/M10g, tests/test_pdf_crypt.py) is the same
+shape over the standard security handler: plaintext vs RC4-40 vs
+RC4-128 (± Flate) vs AES-128 /AESV2 (± Flate) builds of one document
+must extract identically — the empty-user-password decrypt paths
+(core/pdf_crypt.py + core/aes.py) proven per doc.
 """
 
 from __future__ import annotations
@@ -65,7 +66,8 @@ def q_pdf_filter_parity(sf_dir: str) -> ray.data.Dataset:
 
 # --- pdf_encrypt_parity (M10f): encrypted == plaintext, per document ----
 
-_ENC_SPECS = (False, "rc4-40", "rc4-128", ("rc4-128", "flate"))
+_ENC_SPECS = (False, "rc4-40", "rc4-128", ("rc4-128", "flate"),
+              "aes-128", ("aes-128", "flate"))
 
 
 def _encrypt_parity_batch(batch: pa.Table) -> pa.Table:
@@ -116,7 +118,7 @@ FROM documents
 
 SQL_PDF_ENCRYPT_PARITY = """
 SELECT doc_id,
-       CAST(4 AS BIGINT) AS n_variants,
+       CAST(6 AS BIGINT) AS n_variants,
        CAST(1 AS BIGINT) AS n_distinct,
        TRUE AS has_text
 FROM documents

@@ -218,11 +218,13 @@ def _stream_spec(rng: random.Random):
 
 
 def _encrypt_spec(rng: random.Random):
-    # corpus v=10: ~25% of PDFs carry the standard security handler with
-    # an empty user password (the dominant encrypted-crawl-PDF case) —
-    # RC4-128 twice as common as the legacy RC4-40; extraction must be
-    # byte-identical to the plaintext twin (core/pdf_crypt.py M10f)
-    return rng.choice([False] * 9 + ["rc4-128", "rc4-128", "rc4-40"])
+    # corpus v=10/v=11: ~25% of PDFs carry the standard security handler
+    # with an empty user password (the dominant encrypted-crawl-PDF
+    # case) — RC4-128 most common, legacy RC4-40 and modern AES-128
+    # /AESV2 (v=11) minorities; extraction must be byte-identical to
+    # the plaintext twin (core/pdf_crypt.py M10f/M10g)
+    return rng.choice([False] * 12
+                      + ["rc4-128", "rc4-128", "rc4-40", "aes-128"])
 
 
 def _pdf_payload(rng: random.Random) -> bytes:
@@ -397,7 +399,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=10"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=11"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
