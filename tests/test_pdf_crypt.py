@@ -191,6 +191,38 @@ def test_real_password_file_refused():
     assert pc.build_decryptor(doc) is None
 
 
+# --- R6 / AES-256 (PDF 2.0, /AESV3) ---------------------------------
+# Kept OUT of the corpus/parity cycle: Algorithm 2.B costs ~0.2 s per
+# call in pure Python (64+ AES-CBC rounds), so R6 is a tested decode
+# capability, not a bulk fixture arm — each case below is one file.
+
+def test_aes256_roundtrip():
+    plain = extract_pdf(build_pdf([_page()], compress=True))
+    enc_pdf = build_pdf([_page()], compress=True, encrypt="aes-256")
+    assert b"/AESV3" in enc_pdf and b"/UE <" in enc_pdf \
+        and b"/Perms <" in enc_pdf
+    got = extract_pdf(enc_pdf)
+    assert got["extracted_text"] == plain["extracted_text"]
+    assert got["extracted_text"]
+    assert got["spans"] == plain["spans"]
+
+
+def test_aes256_tampered_u_refused():
+    payload = bytearray(build_pdf([_page()], encrypt="aes-256"))
+    i = payload.find(b"/U <")
+    payload[i + 4:i + 12] = b"00000000"
+    assert pc.build_decryptor(bytes(payload)) is None
+    assert extract_pdf(bytes(payload))["extracted_text"] == ""
+
+
+def test_hash_2b_properties():
+    a = pc.hash_2b(b"", b"saltsalt")
+    assert len(a) == 32 and a == pc.hash_2b(b"", b"saltsalt")
+    assert a != pc.hash_2b(b"", b"SALTSALT")
+    assert pc.hash_2b(b"pw", b"saltsalt") != a
+    assert pc.hash_2b(b"", b"saltsalt", b"udata") != a
+
+
 def test_literal_string_o_u_accepted():
     """Real writers often emit /O and /U as literal (escaped) strings;
     the parser must read those too, not just hex."""

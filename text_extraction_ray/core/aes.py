@@ -213,13 +213,21 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
                                            expand_key(key)))
 
 
-def cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
-    """CBC with PKCS#7 padding (the PDF /AESV2//AESV3 convention);
-    output does NOT include the IV — callers prepend it per spec.
+def cbc_encrypt(key: bytes, iv: bytes, plain: bytes,
+                pad: bool = True) -> bytes:
+    """CBC with PKCS#7 padding (the PDF /AESV2//AESV3 stream
+    convention); output does NOT include the IV — callers prepend it
+    per spec.  ``pad=False`` is the no-padding mode the R6 key wrapping
+    (/UE //OE, hash Algorithm 2.B) requires — input must be aligned.
     Chaining is inherently serial, so this runs the T-table block
     cipher (~20× the per-block numpy dispatch)."""
-    pad = 16 - len(plain) % 16
-    data = plain + bytes([pad]) * pad
+    if pad:
+        n = 16 - len(plain) % 16
+        data = plain + bytes([n]) * n
+    else:
+        if len(plain) % 16:
+            raise ValueError("aes: unaligned no-pad CBC input")
+        data = plain
     rks = expand_key(key)
     rkw = _rk_words(rks)
     nr = len(rks) - 1

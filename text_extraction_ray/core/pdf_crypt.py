@@ -4,11 +4,12 @@ Real-crawl PDFs are frequently encrypted with an EMPTY user password
 (viewable-by-anyone, owner-restricted printing/copying) — per the PDF 1.7
 spec §7.6.3 such files must still open and extract.  Before this module
 an /Encrypt'ed payload parsed to cipher bytes and extracted nothing; now
-the standard security handler revisions 2–4 (V1 RC4-40 / V2 RC4-128 /
-V4 crypt filters with /CFM /AESV2 AES-128-CBC or /V2 RC4) is decrypted
-from scratch (hashlib.md5 + from-scratch RC4 here + FIPS-197 AES in
-core/aes.py), matching the repo's closed writer↔parser discipline:
-pdf_write.py emits the same handler so fixtures round-trip.
+the standard security handler revisions 2–4 and 6 (V1 RC4-40 / V2
+RC4-128 / V4 crypt filters with /CFM /AESV2 AES-128-CBC or /V2 RC4 /
+V5 R6 /AESV3 AES-256 with SHA-2 key derivation, Algorithm 2.B) is
+decrypted from scratch (hashlib + from-scratch RC4 here + FIPS-197 AES
+in core/aes.py), matching the repo's closed writer↔parser discipline:
+pdf_write.py emits the same handlers so fixtures round-trip.
 
 Spec algorithms implemented (PDF 1.7 §7.6.3.3–7.6.3.5):
   - Algorithm 2: file encryption key from (padded) password, /O, /P, ID[0]
@@ -24,9 +25,10 @@ Scope: streams only.  Strings outside streams carry no extracted content
 in this engine (page text lives inside content streams, which are
 decrypted whole before the Tj/TJ interpreter runs), so string decryption
 is deliberately out of scope and documented here.  Outside the subset —
-/AESV3 (R5/6 AES-256 + SHA-2 key derivation), EncryptMetadata false,
-non-/StdCF stream filters — detection refuses cleanly (returns None →
-payload handled as undecryptable, extraction degrades to empty text).
+R5 (the withdrawn Adobe revision), EncryptMetadata false, non-/StdCF
+stream filters, any non-empty user password — detection refuses cleanly
+(returns None → payload handled as undecryptable, extraction degrades
+to empty text).
 """
 
 from __future__ import annotations
@@ -127,6 +129,47 @@ def object_key(fkey: bytes, num: int, gen: int = 0,
     return h.digest()[: min(len(fkey) + 5, 16)]
 
 
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 password hash.
+
+    SHA-256 seed, then ≥64 rounds of AES-128-CBC (key/iv from the
+    running hash, no padding) over 64 repetitions of (pw ‖ K ‖ udata),
+    the digest algorithm for the next round chosen by the first 16
+    cipher bytes mod 3; terminates once round ≥ 64 and the last cipher
+    byte ≤ round − 32."""
+    from .aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+    return k[:32]
+
+
+def r6_file_key(u_val: bytes, ue_val: bytes,
+                user_pw: bytes = b"") -> bytes | None:
+    """R6 empty-user-password validation + file-key unwrap.
+
+    /U = hash(32) ‖ validation-salt(8) ‖ key-salt(8); the password
+    validates iff Algorithm 2.B(pw, validation-salt) == hash, then the
+    file key is the no-pad AES-256-CBC decrypt of /UE under the
+    intermediate key Algorithm 2.B(pw, key-salt) with a zero IV."""
+    from .aes import cbc_decrypt
+
+    if len(u_val) < 48 or len(ue_val) < 32:
+        return None
+    if hash_2b(user_pw, u_val[32:40]) != u_val[:32]:
+        return None
+    ikey = hash_2b(user_pw, u_val[40:48])
+    return cbc_decrypt(ikey, b"\x00" * 16, ue_val[:32],
+                       strip_padding=False)
+
+
 def _pdf_string(body: bytes, name: bytes) -> bytes | None:
     """Value of ``/name <hex>`` or ``/name (literal)`` in a dict body.
 
@@ -196,13 +239,16 @@ class PdfDecryptor:
     def decrypt(self, num: int, data: bytes) -> bytes:
         if num == self.encrypt_num:
             return data
-        if self.mode == "aes":
+        if self.mode in ("aes", "aes256"):
             if len(data) < 16:
                 return b""  # malformed: no room for the IV
             from .aes import cbc_decrypt
 
-            return cbc_decrypt(object_key(self.fkey, num, aes=True),
-                               data[:16], data[16:])
+            # R6 (aes256) uses the FILE key directly for every object;
+            # R4 (aes) derives a per-object key with the sAlT suffix
+            key = (self.fkey if self.mode == "aes256"
+                   else object_key(self.fkey, num, aes=True))
+            return cbc_decrypt(key, data[:16], data[16:])
         return rc4(object_key(self.fkey, num), data)
 
 
@@ -235,6 +281,22 @@ def build_decryptor(payload: bytes) -> PdfDecryptor | None:
     v = nums[b"V"] or 1
     rev = nums[b"R"] or (2 if v == 1 else 3)
     mode = "rc4"
+    if v == 5 and rev == 6:
+        # PDF 2.0: AES-256 under /CFM /AESV3, SHA-2 key derivation
+        # (Algorithm 2.B) — the file key decrypts every stream directly
+        stmf = re.search(rb"/StmF\s*/(\w+)", body)
+        if stmf and stmf.group(1) != b"StdCF":
+            return None
+        if b"/AESV3" not in body or b"/EncryptMetadata false" in body:
+            return None
+        u_val = _pdf_string(body, b"U")
+        ue_val = _pdf_string(body, b"UE")
+        if u_val is None or ue_val is None:
+            return None
+        fkey = r6_file_key(u_val, ue_val)
+        if fkey is None or len(fkey) != 32:
+            return None  # real user password required
+        return PdfDecryptor(fkey, num, "aes256")
     if v == 4 and rev == 4:
         # crypt filters: the default /StdCF applied to streams (/StmF).
         # /AESV2 → AES-128-CBC; /V2 → RC4 under the V4 envelope.
