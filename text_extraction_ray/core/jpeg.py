@@ -484,6 +484,9 @@ class _BitReader:
         self.stopped = False
 
     def _fill(self) -> None:
+        # trim consumed high bits so acc stays a small int (a growing
+        # bigint makes every shift O(len(stream)) — measured hot)
+        self.acc &= (1 << self.n) - 1
         while self.n <= 24:
             if self.stopped or self.pos >= len(self.data):
                 self.stopped = True
@@ -533,27 +536,61 @@ class _BitReader:
             self.pos = p + 2
 
 
-def _build_huffman(bits: list[int], values: bytes) -> dict:
-    table = {}
-    code = 0
-    vi = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[vi]
-            vi += 1
-            code += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """16-bit peek LUT: ``lut_len[peek]`` = code length (0 = invalid),
+    ``lut_sym[peek]`` = decoded symbol.  Exactly equivalent to walking
+    the canonical code tree bit-by-bit — every 16-bit word with prefix
+    ``code`` maps to that code's symbol — but one list index per symbol
+    instead of up to 16 reader calls."""
+
+    __slots__ = ("lut_sym", "lut_len")
+
+    def __init__(self, bits: tuple[int, ...], values: bytes) -> None:
+        lut_sym = np.zeros(65536, dtype=np.uint8)
+        lut_len = np.zeros(65536, dtype=np.uint8)
+        code = 0
+        vi = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                base = code << (16 - length)
+                # spec-invalid DHTs can push code >= 2^length; those
+                # codes are unreachable (reading `length` bits can never
+                # produce them) and the clipped slice drops them, same
+                # as the old dict's dead entries
+                lut_sym[base:base + span] = values[vi] if vi < len(values) \
+                    else 0
+                lut_len[base:base + span] = length
+                vi += 1
+                code += 1
+            code <<= 1
+        self.lut_sym = lut_sym.tolist()
+        self.lut_len = lut_len.tolist()
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid huffman code in entropy stream")
+_HUFF_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _build_huffman(bits: list[int], values: bytes) -> _HuffTable:
+    key = (tuple(bits), bytes(values))
+    tab = _HUFF_CACHE.get(key)
+    if tab is None:
+        if len(_HUFF_CACHE) > 64:          # crawl-scale: bound the cache
+            _HUFF_CACHE.clear()
+        tab = _HuffTable(*key)
+        _HUFF_CACHE[key] = tab
+    return tab
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    if reader.n < 16:
+        reader._fill()                      # pads 0-bits at stream end
+    peek = (reader.acc >> (reader.n - 16)) & 0xFFFF
+    length = table.lut_len[peek]
+    if length == 0:
+        raise ValueError("jpeg: invalid huffman code in entropy stream")
+    reader.n -= length
+    return table.lut_sym[peek]
 
 
 def _extend(bits: int, s: int) -> int:
