@@ -664,11 +664,17 @@ class PageTextExtractor(TableStringExtractor):
     group into lines by anchor row and order by x."""
 
     def _read_page(self, dist: np.ndarray) -> list[str]:
-        dist = dist.copy()
-        ph, pw, _ = dist.shape
+        # the reader only ever reduces dist over the digit axis, so
+        # (min, argmin) are precomputed ONCE: the per-word full-page
+        # re-reduction and the tens of thousands of 10-element slice
+        # mins were the bench hot spot; consumed regions poison dmin
+        # directly (argmin there is never read — every darg read is
+        # gated on dmin <= _CHAR_ACCEPT)
+        dmin = dist.min(axis=2).astype(np.int16)
+        darg = dist.argmin(axis=2)
+        ph, pw = dmin.shape
         words: list[tuple[int, int, str]] = []       # (y, x_first, text)
         while True:
-            dmin = dist.min(axis=2)
             y0, x0 = np.unravel_index(int(np.argmin(dmin)), dmin.shape)
             if dmin[y0, x0] > self._CHAR_ACCEPT:
                 break
@@ -679,10 +685,10 @@ class PageTextExtractor(TableStringExtractor):
                     for dx in (-1, 0, 1):
                         yy, xx = y0 + dy, x + dx
                         if 0 <= yy < ph and 0 <= xx < pw:
-                            d = int(dist[yy, xx].min())
+                            d = int(dmin[yy, xx])
                             if d < best:
                                 best, dig, by, bx = d, int(
-                                    dist[yy, xx].argmin()), yy, xx
+                                    darg[yy, xx]), yy, xx
                 return best, dig, by, bx
 
             got, hits = {}, {}
@@ -690,7 +696,7 @@ class PageTextExtractor(TableStringExtractor):
             for step in (1, -1):
                 k = step if step == 1 else -1
                 if step == 1:
-                    got[0] = int(dist[y0, x0].argmin())
+                    got[0] = int(darg[y0, x0])
                     hits[0] = (y0, x0)
                 while True:
                     b, dg, by, bx = probe(x0 + k * _PITCH)
@@ -713,13 +719,13 @@ class PageTextExtractor(TableStringExtractor):
                 yy = y0 + dy_off
                 xx = x0 + k * _PITCH + dx_off
                 if 0 <= yy < ph and 0 <= xx < pw and \
-                        int(dist[yy, xx].min()) <= self._CHAR_ACCEPT:
-                    got[k] = int(dist[yy, xx].argmin())
+                        int(dmin[yy, xx]) <= self._CHAR_ACCEPT:
+                    got[k] = int(darg[yy, xx])
             text = "".join(str(got[k]) for k in sorted(got))
             x_lo, x_hi = min(edges), max(edges)
             words.append((int(y0), x_lo, text))
-            dist[max(0, y0 - GLYPH_H + 1):y0 + GLYPH_H,
-                 max(0, x_lo - _PITCH - 1):x_hi + _PITCH + 2, :] = 99
+            dmin[max(0, y0 - GLYPH_H + 1):y0 + GLYPH_H,
+                 max(0, x_lo - _PITCH - 1):x_hi + _PITCH + 2] = 99
         lines: dict[int, list[tuple[int, str]]] = {}
         for y, x, text in sorted(words):
             row = next((ly for ly in lines if abs(ly - y) <= 1), y)
