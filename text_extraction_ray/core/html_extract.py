@@ -34,7 +34,7 @@ from .dom import RAWTEXT_TAGS, collapse_ws, decode_entities, tokenize
 from .stopwords import STOPWORDS, stoplist_for, vote_lang
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     block_id: int
     tag_path: str

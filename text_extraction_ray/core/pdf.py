@@ -440,6 +440,11 @@ def _interpret(stream: bytes,
     ``Tf`` selects the active map and show operators decode through it
     in the map's code unit (1 or 2 bytes); fonts without a map keep the
     latin-1 passthrough."""
+    if b"BI" in stream:
+        # inline-image entropy bytes must never be scanned as operators
+        # (a chance 'BT … Tj' inside compressed data would fabricate
+        # text); the raster side reads them via split_inline_images
+        stream, _ = split_inline_images(stream)
     text = stream.decode("latin-1", "replace")
     runs: list[_Run] = []
     rects: list[tuple[float, float, float, float]] = []
@@ -724,6 +729,88 @@ def _text_regions(runs: list[_Run]) -> list[_Region]:
 _IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
 _IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 
+# --- inline images (PDF 32000-1 §8.9.7: BI <dict> ID <data> EI) --------------
+
+_BI_TOKEN_RE = re.compile(rb"(?:(?<=[\s>)])|^)BI(?=[\s/])")
+_ID_TOKEN_RE = re.compile(rb"(?<=[\s>])ID(?=[\s])")
+_EI_TOKEN_RE = re.compile(rb"(?<=[\s])EI(?![0-9A-Za-z])")
+_IMG_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# abbreviated key/value names, longest first so /BPC wins over /B + 'PC'
+_INLINE_ABBREV_RE = re.compile(
+    rb"/(AHx|A85|LZW|Fl|RL|CCF|DCT|BPC|CS|DP|IM|RGB|CMYK|W|H|F|D|I|L|G)\b")
+_INLINE_FULL = {
+    b"W": b"Width", b"H": b"Height", b"BPC": b"BitsPerComponent",
+    b"CS": b"ColorSpace", b"F": b"Filter", b"DP": b"DecodeParms",
+    b"D": b"Decode", b"IM": b"ImageMask", b"I": b"Interpolate",
+    b"L": b"Length", b"G": b"DeviceGray", b"RGB": b"DeviceRGB",
+    b"CMYK": b"DeviceCMYK", b"AHx": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode", b"LZW": b"LZWDecode", b"Fl": b"FlateDecode",
+    b"RL": b"RunLengthDecode", b"CCF": b"CCITTFaxDecode",
+    b"DCT": b"DCTDecode",
+}
+
+
+def split_inline_images(stream: bytes
+                        ) -> tuple[bytes, list[tuple[bytes, bytes]]]:
+    """Split a content stream into (stream with image spans blanked,
+    [(expanded header, raw entropy data)]).
+
+    Inline images embed binary data directly between ``ID`` and ``EI``
+    inside the content stream — real scanned PDFs use them for small
+    rasters where an XObject is overhead.  Abbreviated dict keys are
+    expanded to their full names so ``apply_stream_filters`` and the
+    XObject regexes work unchanged.  The data extent is the declared
+    /L(ength) when present, the exact gray payload size when unfiltered,
+    else the first whitespace-preceded ``EI`` delimiter (the standard
+    heuristic).  Malformed constructs blank to end-of-stream and yield
+    nothing — total on untrusted bytes.  Spans are blanked (not cut) so
+    the text interpreter never reads image bytes as operators."""
+    if b"BI" not in stream:
+        return stream, []
+    images: list[tuple[bytes, bytes]] = []
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        m = _BI_TOKEN_RE.search(stream, pos)
+        if m is None:
+            break
+        idm = _ID_TOKEN_RE.search(stream, m.end())
+        if idm is None:
+            spans.append((m.start(), len(stream)))
+            break
+        hdr = _INLINE_ABBREV_RE.sub(
+            lambda am: b"/" + _INLINE_FULL[am.group(1)],
+            stream[m.end():idm.start()])
+        data_start = idm.end() + 1               # one ws byte after ID
+        wm = _IMG_WIDTH_RE.search(hdr)
+        hm = _IMG_HEIGHT_RE.search(hdr)
+        lm = _IMG_LENGTH_RE.search(hdr)
+        if lm is not None:
+            data_end = min(data_start + int(lm.group(1)), len(stream))
+        elif b"/Filter" not in hdr and wm and hm:
+            bpcm = re.search(rb"/BitsPerComponent\s+(\d+)", hdr)
+            bpc = int(bpcm.group(1)) if bpcm else 8
+            n = ((int(wm.group(1)) * bpc + 7) // 8) * int(hm.group(1))
+            data_end = min(data_start + n, len(stream))
+        else:
+            data_end = -1
+        if data_end >= 0:
+            eim = _EI_TOKEN_RE.search(stream, data_end)
+        else:
+            eim = _EI_TOKEN_RE.search(stream, data_start)
+            data_end = eim.start() - 1 if eim else len(stream)
+        end = eim.end() if eim else len(stream)
+        if wm and hm and data_end > data_start:
+            images.append((hdr, stream[data_start:data_end]))
+        spans.append((m.start(), end))
+        pos = end
+    if not spans:
+        return stream, images
+    out = bytearray(stream)
+    for a, e in spans:
+        out[a:e] = b" " * (e - a)
+    return bytes(out), images
+
 
 _SCAN_READER = None
 _PAGE_READER = None
@@ -821,25 +908,44 @@ def pdf_images(payload: bytes,
         if (b"/Subtype" not in header or b"/Image" not in header
                 or data is None):
             continue
-        wm = _IMG_WIDTH_RE.search(header)
-        hm = _IMG_HEIGHT_RE.search(header)
-        if not (wm and hm):
-            continue
-        if b"/DCTDecode" in header:
-            # real scanned PDFs are JPEG-compressed: the filter chain
-            # left the DCT bytes raw for the raster layer (round 4);
-            # decode failures keep the raw bytes so the caller's error
-            # routing sees them, same as any other non-gray payload
-            from .jpeg import decode_jpeg
+        img = _finish_image(header, data)
+        if img is not None:
+            out.append(img)
+    # inline images (BI/ID/EI) ride inside the page content streams,
+    # page order then stream order; their entropy data is still raw
+    # here, so the stream filter chain applies before the raster step
+    for stream in _page_content_streams(payload, objects):
+        _, inline = split_inline_images(stream)
+        for hdr, raw in inline:
+            from .pdf_filters import apply_stream_filters
 
-            try:
-                jw, jh, gray = decode_jpeg(data)
-                if (jw, jh) == (int(wm.group(1)), int(hm.group(1))):
-                    data = gray
-            except (ValueError, NotImplementedError):
-                pass
-        out.append((int(wm.group(1)), int(hm.group(1)), data))
+            img = _finish_image(hdr, apply_stream_filters(hdr, raw))
+            if img is not None:
+                out.append(img)
     return out
+
+
+def _finish_image(header: bytes, data: bytes
+                  ) -> tuple[int, int, bytes] | None:
+    """Common tail for XObject and inline images: read dims, run the
+    from-scratch JPEG codec on /DCTDecode payloads (real scanned PDFs
+    are JPEG-compressed — round 4); decode failures keep the raw bytes
+    so the caller's error routing sees them, same as any other
+    non-gray payload."""
+    wm = _IMG_WIDTH_RE.search(header)
+    hm = _IMG_HEIGHT_RE.search(header)
+    if not (wm and hm) or not data:
+        return None
+    if b"/DCTDecode" in header:
+        from .jpeg import decode_jpeg
+
+        try:
+            jw, jh, gray = decode_jpeg(data)
+            if (jw, jh) == (int(wm.group(1)), int(hm.group(1))):
+                data = gray
+        except (ValueError, NotImplementedError):
+            pass
+    return int(wm.group(1)), int(hm.group(1)), data
 
 
 def pdf_tables(payload: bytes) -> list[str]:

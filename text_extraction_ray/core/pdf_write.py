@@ -452,7 +452,8 @@ def _assemble_pdf(objects: list[bytes],
 
 def build_image_pdf(images: list[tuple[int, int, bytes]],
                     image_filter: str = "flate",
-                    encrypt: str | bool = False) -> bytes:
+                    encrypt: str | bool = False,
+                    inline: bool = False) -> bytes:
     """A 'scanned' PDF: one page per (w, h, grayscale raster), each an
     /XObject /Image (8-bit /DeviceGray) drawn full-page — the shape of
     a real scanned-document crawl PDF, closing the loop for the
@@ -460,16 +461,50 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
     tables back out of the extracted images).  ``image_filter``:
     'flate' (lossless zlib), 'dct' (baseline JPEG via core/jpeg.py,
     flat quant = near-lossless ±2 — REAL scanned PDFs are
-    DCT-compressed) or 'dct-prog' (progressive JPEG)."""
+    DCT-compressed) or 'dct-prog' (progressive JPEG).
+
+    ``inline=True`` embeds each raster as a BI/ID/EI inline image with
+    abbreviated dict keys (PDF 32000-1 §8.9.7) inside the page content
+    stream instead of an XObject — the form small real-world scans take
+    — exercising ``core/pdf.py split_inline_images`` end to end."""
     objects: list[bytes] = []
     n_pages = len(images)
-    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    per_page = 2 if inline else 3
+    kids = " ".join(f"{3 + per_page * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")          # 1
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     for i, (w, h, gray) in enumerate(images):
-        page_num = 3 + 3 * i
-        content_num, image_num = page_num + 1, page_num + 2
+        page_num = 3 + per_page * i
+        content_num = page_num + 1
+        if image_filter == "flate":
+            data = zlib.compress(gray, 6)
+            filt, abbrev = "/FlateDecode", "/Fl"
+        elif image_filter in ("dct", "dct-prog"):
+            from .jpeg import encode_jpeg
+
+            data = encode_jpeg(w, h, gray, subsampling="gray",
+                               progressive=image_filter == "dct-prog")
+            filt, abbrev = "/DCTDecode", "/DCT"
+        elif image_filter == "raw" and inline:
+            data, filt, abbrev = gray, "", ""
+        else:
+            raise ValueError(f"unknown image_filter {image_filter!r}")
+        if inline:
+            fpart = f" /F {abbrev} /L {len(data)}" if abbrev else ""
+            content = (
+                f"q {PAGE_W} 0 0 {PAGE_H} 0 0 cm "
+                f"BI /W {w} /H {h} /BPC 8 /CS /G{fpart} ID\n".encode()
+                + data + b"\nEI Q")
+            objects.append(
+                (f"<< /Type /Page /Parent 2 0 R "
+                 f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+                 f"/Contents {content_num} 0 R >>").encode())
+            objects.append(
+                f"<< /Length {len(content)} >>".encode()
+                + b"\nstream\n" + content + b"\nendstream")
+            continue
+        image_num = page_num + 2
         objects.append(
             (f"<< /Type /Page /Parent 2 0 R "
              f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
@@ -481,17 +516,6 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
         objects.append(
             f"<< /Length {len(content)} >>".encode()
             + b"\nstream\n" + content + b"\nendstream")
-        if image_filter == "flate":
-            data = zlib.compress(gray, 6)
-            filt = "/FlateDecode"
-        elif image_filter in ("dct", "dct-prog"):
-            from .jpeg import encode_jpeg
-
-            data = encode_jpeg(w, h, gray, subsampling="gray",
-                               progressive=image_filter == "dct-prog")
-            filt = "/DCTDecode"
-        else:
-            raise ValueError(f"unknown image_filter {image_filter!r}")
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {w} "
              f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "

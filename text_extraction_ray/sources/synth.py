@@ -256,12 +256,15 @@ def _pdf_payload(rng: random.Random) -> bytes:
 
         # corpus v=9: real scanned PDFs are mostly DCT-compressed —
         # cycle the image filter so the flagship route decodes JPEG
-        # (baseline AND progressive) scans end to end
+        # (baseline AND progressive) scans end to end; v=12 embeds ~25%
+        # of scans as BI/ID/EI INLINE images (core/pdf.py M10h) instead
+        # of XObjects — the form small real-world scans take
         return build_image_pdf(
             [scan_image() for _ in range(rng.randint(1, 2))],
             image_filter=rng.choice(["flate", "flate", "dct",
                                      "dct-prog"]),
-            encrypt=_encrypt_spec(rng))
+            encrypt=_encrypt_spec(rng),
+            inline=rng.random() < 0.25)
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
     cid_lines: list[str] | None = None
@@ -399,7 +402,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=11"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=12"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
