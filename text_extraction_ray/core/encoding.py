@@ -51,16 +51,66 @@ _MARKUP_HINT_RE = re.compile(
 )
 
 
+_FEED_ROOT_RE = re.compile(rb"<\s*(rss|feed)[\s>]", re.IGNORECASE)
+_XML_ENCODING_RE = re.compile(
+    rb"<\?xml[^>]*encoding\s*=\s*[\"']([A-Za-z0-9._\-]+)[\"']",
+    re.IGNORECASE)
+
+
 def sniff_doc_type(payload: bytes) -> str:
-    """Classify raw payload bytes: html | pdf | empty | unknown (M1)."""
+    """Classify raw payload bytes: html | pdf | feed | empty | unknown (M1).
+
+    Feeds (RSS/Atom, M28) are recognized conservatively: the payload
+    must START with the feed root element (after BOM/whitespace), or
+    carry an XML prolog whose first 2 KiB contain one — an HTML page
+    merely MENTIONING ``<rss`` never routes here."""
     if not payload:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
     head = payload[:2048]
+    stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
+    if stripped[:1] == b"<":
+        if _FEED_ROOT_RE.match(stripped):
+            return "feed"
+        if stripped.startswith(b"<?xml") and _FEED_ROOT_RE.search(head):
+            return "feed"
     if _MARKUP_HINT_RE.search(head):
         return "html"
     return "unknown"
+
+
+def decode_xml(payload: bytes) -> tuple[str, str]:
+    """Decode XML payload bytes → (text, charset_used). Never raises.
+
+    Same BOM handling as ``decode_html`` but the charset declaration is
+    the XML prolog's ``encoding=`` attribute instead of a meta tag."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace"), "utf-8-bom"
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    m = _XML_ENCODING_RE.search(payload[:256])
+    if m:
+        raw = m.group(1).decode("ascii", "replace").lower()
+        codec = _CHARSET_ALIASES.get(raw)
+        if codec is None:
+            try:
+                info = codecs.lookup(raw)
+                if getattr(info, "_is_text_encoding", True):
+                    codec = info.name
+            except LookupError:
+                codec = None
+        if codec:
+            try:
+                return payload.decode(codec, "replace"), codec
+            except (LookupError, ValueError, TypeError):  # pragma: no cover
+                pass
+    try:
+        return payload.decode("utf-8", "strict"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"
 
 
 def decode_html(payload: bytes) -> tuple[str, str]:

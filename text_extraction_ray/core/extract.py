@@ -9,7 +9,7 @@ becomes a ``parse_ok=False`` row, never an exception (M11).
 
 from __future__ import annotations
 
-from .encoding import decode_html, sniff_doc_type
+from .encoding import decode_html, decode_xml, sniff_doc_type
 from .html_extract import extract_html
 from .pdf import extract_pdf
 
@@ -42,6 +42,28 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
             return empty_result(
                 "unknown", crawl_lang, "payload is neither markup nor pdf"
             )
+        if doc_type == "feed":
+            from .feed import feed_to_text, parse_feed
+            from .html_extract import JOINER
+            from .stopwords import STOPWORDS, vote_lang
+
+            text, charset = decode_xml(payload)
+            parsed = parse_feed(text)
+            body, spans, kept = feed_to_text(parsed, JOINER)
+            lang = (crawl_lang if crawl_lang in STOPWORDS
+                    else vote_lang(body.split(" ")) if body else "en")
+            return {
+                "doc_type": "feed",
+                "lang": lang,
+                "charset": charset,
+                "extracted_text": body,
+                "spans": spans,
+                "n_blocks_kept": kept,
+                "n_blocks_dropped": 0,
+                "parse_ok": parsed["kind"] is not None,
+                "error": ("" if parsed["kind"] is not None
+                          else "feed root not parseable"),
+            }
         if doc_type == "pdf":
             r = extract_pdf(payload)
             return {

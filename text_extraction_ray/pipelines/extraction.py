@@ -116,10 +116,14 @@ def extract_pages(
         raise ValueError(f"unknown mode {mode!r}")
 
     sniffed = ds.map_batches(sniff_batch, **_PYARROW_KW)
+    # feeds share the html branch: same decode → text-assembly shape,
+    # same small-payload profile (M28)
     html = sniffed.filter(
-        expr=f"doc_type == 'html' and n_bytes < {GIANT_BYTES}")
+        expr=f"(doc_type == 'html' or doc_type == 'feed') "
+             f"and n_bytes < {GIANT_BYTES}")
     giant = sniffed.filter(
-        expr=f"doc_type == 'html' and n_bytes >= {GIANT_BYTES}")
+        expr=f"(doc_type == 'html' or doc_type == 'feed') "
+             f"and n_bytes >= {GIANT_BYTES}")
     pdf = sniffed.filter(expr="doc_type == 'pdf'")
     other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
 

@@ -193,11 +193,96 @@ FROM documents
 """
 
 
+# --- feed_items: value-level RSS/Atom parser oracle (M28) ---------------
+
+def _feed_xml(i: int) -> str:
+    """Deterministic feed: RSS for even ids, Atom for odd; 1 + i%3
+    items with entity-encoded titles and CDATA summaries on odd item
+    indexes — the parser branches the corpus exercises, but with
+    doc_id-derived values SQL can recompute."""
+    items = []
+    for k in range(1 + i % 3):
+        title = f"Item {i}-{k} &amp; notes"
+        link = f"https://feeds.example/item/{i}/{k}"
+        v = (i * 7 + k) % 50
+        if k % 2:
+            summary = f"<![CDATA[sum <b>{v}</b>]]>"
+        else:
+            summary = f"sum plain {v}"
+        items.append((title, link, summary))
+    if i % 2 == 0:
+        body = "".join(
+            f"<item><title>{t}</title><link>{li}</link>"
+            f"<pubDate>Mon, 0{k % 9 + 1} Jan 2024 00:00:00 GMT</pubDate>"
+            f"<description>{s}</description></item>"
+            for k, (t, li, s) in enumerate(items))
+        return ('<?xml version="1.0" encoding="utf-8"?><rss version="2.0">'
+                f"<channel><title>Feed {i}</title>{body}</channel></rss>")
+    body = "".join(
+        f"<entry><title>{t}</title>"
+        f'<link rel="alternate" href="{li}"/>'
+        f"<updated>2024-01-0{k % 9 + 1}T00:00:00Z</updated>"
+        f"<summary>{s}</summary></entry>"
+        for k, (t, li, s) in enumerate(items))
+    return ('<?xml version="1.0" encoding="utf-8"?>'
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>Feed {i}</title>{body}</feed>")
+
+
+def _feed_items_batch(batch: pa.Table) -> pa.Table:
+    from ..core.feed import parse_feed
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_idx, o_kind, o_title, o_link, o_sum = [], [], [], [], [], []
+    for i in ids:
+        parsed = parse_feed(_feed_xml(i))
+        for k, it in enumerate(parsed["items"]):
+            o_id.append(i)
+            o_idx.append(k)
+            o_kind.append(parsed["kind"])
+            o_title.append(it["title"])
+            o_link.append(it["link"])
+            o_sum.append(it["summary"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "item_idx": pa.array(o_idx, type=pa.int64()),
+        "kind": pa.array(o_kind, type=pa.string()),
+        "title": pa.array(o_title, type=pa.string()),
+        "link": pa.array(o_link, type=pa.string()),
+        "summary": pa.array(o_sum, type=pa.string()),
+    })
+
+
+def q_feed_items(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_feed_items_batch, **_PYA))
+
+
+SQL_FEED_ITEMS = """
+WITH it AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS item_idx
+  FROM documents)
+SELECT doc_id, item_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'Item ' || doc_id || '-' || item_idx || ' & notes' AS title,
+       'https://feeds.example/item/' || doc_id || '/' || item_idx AS link,
+       CASE WHEN item_idx % 2 = 1
+            THEN 'sum <b>' || (doc_id * 7 + item_idx) % 50 || '</b>'
+            ELSE 'sum plain ' || (doc_id * 7 + item_idx) % 50 END AS summary
+FROM it
+"""
+
+
 def queries_r4b() -> dict:
     return {"docs_c4_filter": q_docs_c4_filter,
-            "pages_head_meta": q_pages_head_meta}
+            "pages_head_meta": q_pages_head_meta,
+            "feed_items": q_feed_items}
 
 
 def parity_sql_r4b() -> dict[str, str]:
     return {"docs_c4_filter": SQL_DOCS_C4_FILTER,
-            "pages_head_meta": SQL_PAGES_HEAD_META}
+            "pages_head_meta": SQL_PAGES_HEAD_META,
+            "feed_items": SQL_FEED_ITEMS}

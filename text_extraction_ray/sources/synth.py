@@ -347,6 +347,45 @@ _MB_CHARSETS = [
 ]
 
 
+def _feed_payload(rng: random.Random, lang: str) -> bytes:
+    """An RSS 2.0 or Atom feed (corpus v=13, M28): item titles +
+    summaries are the main content; CDATA, entities and the Atom
+    href-link form all appear so the parser's branches stay exercised
+    by the flagship route."""
+    feed_title = " ".join(_words(rng, lang, 3))
+    n_items = rng.randint(2, 5)
+    items = []
+    for k in range(n_items):
+        t = " ".join(_words(rng, lang, rng.randint(4, 8)))
+        s = _sentence(rng, lang)
+        link = f"https://feeds.example/{lang}/{rng.randrange(1 << 20)}"
+        date = (_BASE_TS + _dt.timedelta(hours=k)).strftime(
+            "%a, %d %b %Y %H:%M:%S GMT")
+        items.append((t, s, link, date))
+    if rng.random() < 0.5:
+        body = "".join(
+            ("<item><title>" + t + "</title><link>" + link + "</link>"
+             + "<pubDate>" + date + "</pubDate>"
+             + ("<description><![CDATA[" + s + "]]></description>"
+                if k % 2 else "<description>" + s + "</description>")
+             + "</item>")
+            for k, (t, s, link, date) in enumerate(items))
+        xml = ('<?xml version="1.0" encoding="utf-8"?>\n'
+               '<rss version="2.0"><channel><title>' + feed_title
+               + "</title>" + body + "</channel></rss>")
+    else:
+        body = "".join(
+            ("<entry><title>" + t + "</title>"
+             + f'<link rel="alternate" href="{link}"/>'
+             + "<updated>" + date + "</updated>"
+             + "<summary>" + s + "</summary></entry>")
+            for (t, s, link, date) in items)
+        xml = ('<?xml version="1.0" encoding="utf-8"?>\n'
+               '<feed xmlns="http://www.w3.org/2005/Atom"><title>'
+               + feed_title + "</title>" + body + "</feed>")
+    return xml.encode("utf-8")
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -384,8 +423,10 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         html = _pdf_payload(rng)
     elif roll < 0.95:
         html = b""
-    elif roll < 0.97:
+    elif roll < 0.965:
         html = bytes(rng.randrange(256) for _ in range(rng.randint(16, 512)))
+    elif roll < 0.98:  # corpus v=13: RSS/Atom feeds (M28)
+        html = _feed_payload(rng, gen_lang)
     else:
         html = _giant_html(rng, gen_lang, giant_cap)
     wet = " ".join(_words(rng, gen_lang, 40))
@@ -402,7 +443,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=12"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=13"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
