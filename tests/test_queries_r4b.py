@@ -58,6 +58,39 @@ def test_registry_carries_r4b_queries(ray_session):
     assert names[49] == "extract_pages"
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_jsonld_duckdb_parity(ray_session, sf_dir):
+    """Extracted JSON-LD fields == doc_id-derived strings in SQL —
+    rawtext script scan, @graph unwrap, broken-block skip all inside
+    the hash."""
+    from text_extraction_ray.pipelines.queries_r4b import (
+        SQL_PAGES_JSONLD, q_pages_jsonld)
+
+    got = (q_pages_jsonld(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _oracle(sf_dir, SQL_PAGES_JSONLD)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jsonld_units():
+    from text_extraction_ray.core.html_meta import extract_jsonld
+
+    # list form, graph form, broken skipped, non-ld ignored, rawtext
+    doc = ('<script type="application/ld+json">[{"@type":"A"},'
+           '{"@type":"B"}]</script>'
+           '<script type="application/ld+json">{"@graph":'
+           '[{"@type":"C"}]}</script>'
+           '<script type="application/ld+json">nope{</script>'
+           '<script>{"@type":"decoy"}</script>')
+    assert [n["@type"] for n in extract_jsonld(doc)] == ["A", "B", "C"]
+    assert extract_jsonld("") == []
+    assert extract_jsonld('<script type="application/ld+json">'
+                          '{"a":"unterminated') == []
+    # block cap holds on adversarial pages
+    many = '<script type="application/ld+json">{"@type":"X"}</script>' * 50
+    assert len(extract_jsonld(many)) == 8
+
+
 # --- head parser units ---------------------------------------------------
 
 def test_head_meta_entities_and_ws():

@@ -71,6 +71,48 @@ def _clean(text: str) -> str:
     return collapse_ws(decode_entities(text)).strip()
 
 
+_JSONLD_OPEN_RE = re.compile(
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>",
+    re.IGNORECASE)
+_SCRIPT_CLOSE_RE = re.compile(r"</script\s*>", re.IGNORECASE)
+_JSONLD_CAP = 262144       # scan bound for malformed giant pages
+_JSONLD_MAX_BLOCKS = 8     # real pages carry 1-3; bound adversarial ones
+
+
+def extract_jsonld(doc: str) -> list[dict]:
+    """schema.org JSON-LD blocks (M29): every
+    ``<script type="application/ld+json">`` payload that parses as JSON,
+    flattened to a list of objects (top-level lists and ``@graph``
+    wrappers unwrapped one level).  Script content is rawtext — no
+    entity decoding (HTML5 §13.2.5.1).  Malformed JSON blocks are
+    skipped; never raises."""
+    import json
+
+    out: list[dict] = []
+    hay = doc[:_JSONLD_CAP]
+    pos = 0
+    while len(out) < _JSONLD_MAX_BLOCKS:
+        m = _JSONLD_OPEN_RE.search(hay, pos)
+        if m is None:
+            break
+        cm = _SCRIPT_CLOSE_RE.search(hay, m.end())
+        body = hay[m.end():cm.start() if cm else len(hay)]
+        pos = cm.end() if cm else len(hay)
+        try:
+            data = json.loads(body)
+        except ValueError:
+            continue
+        nodes = data if isinstance(data, list) else [data]
+        for node in nodes:
+            if isinstance(node, dict):
+                graph = node.get("@graph")
+                if isinstance(graph, list):
+                    out.extend(g for g in graph if isinstance(g, dict))
+                else:
+                    out.append(node)
+    return out[:_JSONLD_MAX_BLOCKS]
+
+
 def extract_head_meta(doc: str) -> dict[str, str | None]:
     """Scan the document head for metadata fields.
 

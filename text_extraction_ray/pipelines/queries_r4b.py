@@ -276,13 +276,84 @@ FROM it
 """
 
 
+# --- pages_jsonld: value-level JSON-LD oracle (M29) ----------------------
+
+def _jsonld_html(i: int) -> str:
+    """Page with one valid JSON-LD block (plain object or @graph wrapper
+    by id), one broken-JSON block and one ordinary script — the traps a
+    real page sets."""
+    import json
+
+    node = {
+        "@context": "https://schema.org",
+        "@type": ("Article", "NewsArticle", "BlogPosting")[i % 3],
+        "headline": f"Headline {i}",
+        "datePublished": f"2024-{1 + i % 12:02d}-01",
+        "author": {"@type": "Person", "name": f"Author {i % 10}"},
+    }
+    payload = (json.dumps({"@context": "https://schema.org",
+                           "@graph": [node]})
+               if i % 4 == 0 else json.dumps(node))
+    return (
+        "<html><head><title>x</title>"
+        "<script>var a = {'not': 'ld'};</script>"
+        f'<script type="application/ld+json">{payload}</script>'
+        '<script type="application/ld+json">{broken json</script>'
+        f"</head><body><p>Body {i}</p></body></html>"
+    )
+
+
+def _jsonld_batch(batch: pa.Table) -> pa.Table:
+    from ..core.html_meta import extract_jsonld
+
+    ids = batch.column("doc_id").to_pylist()
+    types, heads, dates, authors = [], [], [], []
+    for i in ids:
+        nodes = extract_jsonld(_jsonld_html(i))
+        node = next((n for n in nodes if "@type" in n), {})
+        types.append(node.get("@type"))
+        heads.append(node.get("headline"))
+        dates.append(node.get("datePublished"))
+        author = node.get("author")
+        authors.append(author.get("name")
+                       if isinstance(author, dict) else None)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "jd_type": pa.array(types, type=pa.string()),
+        "headline": pa.array(heads, type=pa.string()),
+        "date_published": pa.array(dates, type=pa.string()),
+        "author": pa.array(authors, type=pa.string()),
+    })
+
+
+def q_pages_jsonld(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_jsonld_batch, **_PYA))
+
+
+SQL_PAGES_JSONLD = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Article'
+            WHEN 1 THEN 'NewsArticle' ELSE 'BlogPosting' END AS jd_type,
+       'Headline ' || doc_id AS headline,
+       '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-01'
+           AS date_published,
+       'Author ' || (doc_id % 10) AS author
+FROM documents
+"""
+
+
 def queries_r4b() -> dict:
     return {"docs_c4_filter": q_docs_c4_filter,
             "pages_head_meta": q_pages_head_meta,
-            "feed_items": q_feed_items}
+            "feed_items": q_feed_items,
+            "pages_jsonld": q_pages_jsonld}
 
 
 def parity_sql_r4b() -> dict[str, str]:
     return {"docs_c4_filter": SQL_DOCS_C4_FILTER,
             "pages_head_meta": SQL_PAGES_HEAD_META,
-            "feed_items": SQL_FEED_ITEMS}
+            "feed_items": SQL_FEED_ITEMS,
+            "pages_jsonld": SQL_PAGES_JSONLD}
