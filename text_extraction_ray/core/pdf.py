@@ -945,6 +945,35 @@ def _finish_image(header: bytes, data: bytes
                 data = gray
         except (ValueError, NotImplementedError):
             pass
+    elif b"/CCITTFaxDecode" in header:
+        # the office-scanner codec (round 4, M30): G4/MMR only (/K < 0
+        # — the overwhelming real-PDF case); K >= 0 G3 keeps raw bytes
+        # for the caller's error routing like any unsupported branch
+        import numpy as np
+
+        from .ccitt import decode_g4
+
+        def _p(name: bytes, default: int) -> int:
+            m = re.search(rb"/" + name + rb"\s+(-?\d+)", header)
+            return int(m.group(1)) if m else default
+
+        k = _p(b"K", 0)
+        if k < 0:
+            cols = _p(b"Columns", 1728)
+            rows_m = re.search(rb"/Rows\s+(\d+)", header)
+            try:
+                samples = decode_g4(
+                    data, cols,
+                    rows=int(rows_m.group(1)) if rows_m else None,
+                    byte_align=re.search(
+                        rb"/EncodedByteAlign\s+true", header) is not None,
+                    black_is_1=re.search(
+                        rb"/BlackIs1\s+true", header) is not None)
+                if samples.shape == (int(hm.group(1)), int(wm.group(1))):
+                    # 1-bit DeviceGray: sample 0 = black, 1 = white
+                    data = (samples * np.uint8(255)).tobytes()
+            except ValueError:
+                pass
     return int(wm.group(1)), int(hm.group(1)), data
 
 

@@ -488,13 +488,36 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
             filt, abbrev = "/DCTDecode", "/DCT"
         elif image_filter == "raw" and inline:
             data, filt, abbrev = gray, "", ""
+        elif image_filter in ("ccitt", "ccitt-ba"):
+            # the real scanned-document codec: 1-bit G4/MMR (round 4,
+            # M30); scan rasters are strictly 0/255 so binarize->G4 is
+            # LOSSLESS and the OCR route reads back identical bytes
+            import numpy as np
+
+            from .ccitt import encode_g4
+
+            ba = image_filter == "ccitt-ba"
+            bits = (np.frombuffer(gray, np.uint8).reshape(h, w)
+                    < 128).astype(np.uint8)
+            data = encode_g4(bits, byte_align=ba)
+            filt, abbrev = "/CCITTFaxDecode", "/CCF"
         else:
             raise ValueError(f"unknown image_filter {image_filter!r}")
+        ccitt = image_filter.startswith("ccitt")
+        bpc = 1 if ccitt else 8
+        dparms = ""
+        if ccitt:
+            ba_part = (" /EncodedByteAlign true"
+                       if image_filter == "ccitt-ba" else "")
+            dparms = (f" /DecodeParms << /K -1 /Columns {w} /Rows {h}"
+                      f"{ba_part} >>")
         if inline:
             fpart = f" /F {abbrev} /L {len(data)}" if abbrev else ""
+            if ccitt:
+                fpart += dparms.replace("/DecodeParms", "/DP")
             content = (
                 f"q {PAGE_W} 0 0 {PAGE_H} 0 0 cm "
-                f"BI /W {w} /H {h} /BPC 8 /CS /G{fpart} ID\n".encode()
+                f"BI /W {w} /H {h} /BPC {bpc} /CS /G{fpart} ID\n".encode()
                 + data + b"\nEI Q")
             objects.append(
                 (f"<< /Type /Page /Parent 2 0 R "
@@ -518,7 +541,7 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
             + b"\nstream\n" + content + b"\nendstream")
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {w} "
-             f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "
-             f"/Length {len(data)} /Filter {filt} >>").encode()
+             f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent {bpc} "
+             f"/Length {len(data)} /Filter {filt}{dparms} >>").encode()
             + b"\nstream\n" + data + b"\nendstream")
     return _assemble_pdf(objects, encrypt=encrypt)

@@ -258,11 +258,13 @@ def _pdf_payload(rng: random.Random) -> bytes:
         # cycle the image filter so the flagship route decodes JPEG
         # (baseline AND progressive) scans end to end; v=12 embeds ~25%
         # of scans as BI/ID/EI INLINE images (core/pdf.py M10h) instead
-        # of XObjects — the form small real-world scans take
+        # of XObjects — the form small real-world scans take; v=14 adds
+        # CCITT G4 fax scans (core/ccitt.py M30 — the office-scanner
+        # codec; binary rasters round-trip losslessly through 1-bit G4)
         return build_image_pdf(
             [scan_image() for _ in range(rng.randint(1, 2))],
             image_filter=rng.choice(["flate", "flate", "dct",
-                                     "dct-prog"]),
+                                     "dct-prog", "ccitt", "ccitt-ba"]),
             encrypt=_encrypt_spec(rng),
             inline=rng.random() < 0.25)
     n_pages = rng.randint(1, 3)
@@ -443,7 +445,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=13"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=14"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
