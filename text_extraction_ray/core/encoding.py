@@ -58,7 +58,8 @@ _XML_ENCODING_RE = re.compile(
 
 
 def sniff_doc_type(payload: bytes) -> str:
-    """Classify raw payload bytes: html | pdf | feed | empty | unknown (M1).
+    """Classify raw payload bytes: html | pdf | docx | feed | empty |
+    unknown (M1).
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
     must START with the feed root element (after BOM/whitespace), or
@@ -68,6 +69,11 @@ def sniff_doc_type(payload: bytes) -> str:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
+    if payload.startswith(b"PK\x03\x04"):
+        # ZIP container (M31): a .docx iff the word/document.xml member
+        # name appears (verbatim in the central directory); any other
+        # zip (xlsx/pptx/jar/plain archive) stays on the error route
+        return "docx" if b"word/document.xml" in payload else "unknown"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
     if stripped[:1] == b"<":

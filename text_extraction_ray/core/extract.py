@@ -64,6 +64,26 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
+        if doc_type == "docx":
+            from .docx import extract_docx
+            from .html_extract import JOINER
+            from .stopwords import STOPWORDS, vote_lang
+
+            r = extract_docx(payload, JOINER)
+            body = r["extracted_text"]
+            lang = (crawl_lang if crawl_lang in STOPWORDS
+                    else vote_lang(body.split(" ")) if body else "en")
+            return {
+                "doc_type": "docx",
+                "lang": lang,
+                "charset": "utf-8" if r["parse_ok"] else "",
+                "extracted_text": body,
+                "spans": r["spans"],
+                "n_blocks_kept": r["n_blocks_kept"],
+                "n_blocks_dropped": r["n_blocks_dropped"],
+                "parse_ok": r["parse_ok"],
+                "error": r["error"],
+            }
         if doc_type == "pdf":
             r = extract_pdf(payload)
             return {

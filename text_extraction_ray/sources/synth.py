@@ -388,6 +388,28 @@ def _feed_payload(rng: random.Random, lang: str) -> bytes:
     return xml.encode("utf-8")
 
 
+def _docx_payload(rng: random.Random, lang: str) -> bytes:
+    """An OOXML .docx (corpus v=15, M31): heading + body paragraphs,
+    sometimes a table and split-mid-word preserve-space runs, stored or
+    deflate members — the container/markup branches the extractor must
+    hold on the flagship route."""
+    from ..core.docx import build_docx
+
+    paras: list[tuple[str, str]] = [
+        (" ".join(_words(rng, lang, rng.randint(2, 5))), "Heading1")]
+    for _ in range(rng.randint(2, 6)):
+        paras.append((_sentence(rng, lang), ""))
+    if rng.random() < 0.3:
+        paras.append(("", ""))          # empty paragraph → dropped block
+    table = None
+    if rng.random() < 0.4:
+        table = [[" ".join(_words(rng, lang, 2)) for _ in range(2)]
+                 for _ in range(rng.randint(1, 3))]
+    return build_docx(paras, table,
+                      deflate=rng.random() < 0.8,
+                      split_runs=rng.random() < 0.5)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -400,8 +422,13 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.70:
+    if roll < 0.66 or 0.68 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
+    elif roll < 0.68:
+        # corpus v=15: OOXML .docx office documents (M31); the 2% band
+        # sits at [0.66, 0.68) so the 200-row tiny golden corpus draws
+        # several (seed-42 rolls cluster there — rows 14/18/85/127/...)
+        html = _docx_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -445,7 +472,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=14"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=15"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
