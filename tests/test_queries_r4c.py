@@ -1,0 +1,47 @@
+"""Round-4 batch C: OOXML docx paragraph oracle (M31)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SCALES = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    return con.execute(
+        sql + " ORDER BY doc_id, para_idx").fetchdf()
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_docx_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Every paragraph value recovered through the real ZIP reader +
+    WordprocessingML parser == the doc_id-derived expected strings in
+    SQL — central-directory walk, inflate+CRC, run concatenation,
+    entity decode, style capture and table-cell order all inside the
+    hash; container variants (stored/deflate, split runs) must be
+    value-invisible."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_DOCX_PARAGRAPHS, q_docx_paragraphs)
+
+    got = (q_docx_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))
+    want = _oracle(sf_dir, SQL_DOCX_PARAGRAPHS)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # non-vacuous in every dimension the parser distinguishes
+    assert got.in_table.sum() > 0 and (~got.in_table).sum() > 0
+    assert (got["style"] == "Heading1").sum() > 0
+    assert (got["text"] == "").sum() > 0
+
+
+def test_registry_carries_r4c_queries(ray_session):
+    """Registered past the pinned 50-row driver window, with SQL."""
+    import __ray_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = list(qs)
+    assert "docx_paragraphs" in qs and "docx_paragraphs" in osql
+    assert names.index("docx_paragraphs") >= 50
+    assert names[49] == "extract_pages"
