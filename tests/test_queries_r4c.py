@@ -36,12 +36,36 @@ def test_docx_paragraphs_duckdb_parity(ray_session, sf_dir):
     assert (got["text"] == "").sum() > 0
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_xlsx_cells_duckdb_parity(ray_session, sf_dir):
+    """Every cell recovered through the real workbook-rels +
+    shared-strings + sheet scan == the doc_id-derived expected values
+    in SQL — reference decode, shared-index resolution, kind tagging
+    and sheet order all inside the hash; shared/inline and
+    stored/deflate variants must be value-invisible."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_XLSX_CELLS, q_xlsx_cells)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(SQL_XLSX_CELLS + " ORDER BY doc_id, sheet, "
+                       "row_i, col_i").fetchdf()
+    got = (q_xlsx_cells(sf_dir).to_pandas()
+           .sort_values(["doc_id", "sheet", "row_i", "col_i"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["kind"]) == {"s", "inlineStr", "n", "b"}
+    assert (got["sheet"] == "X1").sum() > 0
+
+
 def test_registry_carries_r4c_queries(ray_session):
     """Registered past the pinned 50-row driver window, with SQL."""
     import __ray_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
-    assert "docx_paragraphs" in qs and "docx_paragraphs" in osql
-    assert names.index("docx_paragraphs") >= 50
+    for name in ("docx_paragraphs", "xlsx_cells"):
+        assert name in qs and name in osql
+        assert names.index(name) >= 50
     assert names[49] == "extract_pages"

@@ -70,10 +70,14 @@ def sniff_doc_type(payload: bytes) -> str:
     if payload.startswith(PDF_MAGIC):
         return "pdf"
     if payload.startswith(b"PK\x03\x04"):
-        # ZIP container (M31): a .docx iff the word/document.xml member
-        # name appears (verbatim in the central directory); any other
-        # zip (xlsx/pptx/jar/plain archive) stays on the error route
-        return "docx" if b"word/document.xml" in payload else "unknown"
+        # ZIP container (M31/M32): member names occur verbatim in the
+        # central directory, so the container routes by its main part;
+        # any other zip (pptx/jar/plain archive) stays on the error route
+        if b"word/document.xml" in payload:
+            return "docx"
+        if b"xl/workbook.xml" in payload:
+            return "xlsx"
+        return "unknown"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
     if stripped[:1] == b"<":

@@ -64,17 +64,21 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
-        if doc_type == "docx":
-            from .docx import extract_docx
+        if doc_type in ("docx", "xlsx"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
-            r = extract_docx(payload, JOINER)
+            if doc_type == "docx":
+                from .docx import extract_docx
+                r = extract_docx(payload, JOINER)
+            else:
+                from .xlsx import extract_xlsx
+                r = extract_xlsx(payload, JOINER)
             body = r["extracted_text"]
             lang = (crawl_lang if crawl_lang in STOPWORDS
                     else vote_lang(body.split(" ")) if body else "en")
             return {
-                "doc_type": "docx",
+                "doc_type": doc_type,
                 "lang": lang,
                 "charset": "utf-8" if r["parse_ok"] else "",
                 "extracted_text": body,

@@ -1,4 +1,11 @@
-"""Round-4 batch C: OOXML office-document parsing oracles (M31).
+"""Round-4 batch C: OOXML office-document parsing oracles (M31/M32).
+
+``xlsx_cells`` — same discipline for ``core/xlsx.py``: per document a
+deterministic workbook (mixed string/number/boolean grid, a second
+sheet every fourth doc, shared vs inline strings by ``id % 2``, stored
+vs deflate by ``id % 3``) runs the real workbook-rels + shared-strings
++ sheet scan and emits one row per cell; the oracle recomputes sheet,
+(row, col), value and cell kind from ``doc_id``.
 
 ``docx_paragraphs`` — registry-facing twin of ``core/docx.py``: per
 document it BUILDS a deterministic .docx whose paragraph values derive
@@ -90,9 +97,77 @@ WHERE ht
 """
 
 
+# --- xlsx_cells: value-level SpreadsheetML oracle (M32) ------------------
+
+def _xlsx_cells_batch(batch: pa.Table) -> pa.Table:
+    from ..core.xlsx import build_xlsx, parse_xlsx
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_sheet, o_row, o_col, o_val, o_kind = [], [], [], [], [], []
+    for i in ids:
+        nr = 2 + i % 2
+        rows: list[list[object]] = [
+            [f"w {i}-{r}", (i * 31 + r) % 97, bool((i + r) % 2)]
+            for r in range(nr)]
+        sheets = [("S0", rows)]
+        if i % 4 == 0:
+            sheets.append(("X1", [[f"x {i}"]]))
+        payload = build_xlsx(sheets, deflate=i % 3 != 0,
+                             shared=i % 2 == 0)
+        for c in parse_xlsx(payload):
+            o_id.append(i)
+            o_sheet.append(c["sheet"])
+            o_row.append(c["row"])
+            o_col.append(c["col"])
+            o_val.append(c["value"])
+            o_kind.append(c["kind"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "sheet": pa.array(o_sheet, type=pa.string()),
+        "row_i": pa.array(o_row, type=pa.int64()),
+        "col_i": pa.array(o_col, type=pa.int64()),
+        "value": pa.array(o_val, type=pa.string()),
+        "kind": pa.array(o_kind, type=pa.string()),
+    })
+
+
+def q_xlsx_cells(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_xlsx_cells_batch, **_PYA))
+
+
+SQL_XLSX_CELLS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 2 AS nr,
+         CASE WHEN doc_id % 2 = 0 THEN 's' ELSE 'inlineStr' END AS sk
+  FROM documents
+), r AS (
+  SELECT doc_id, sk, unnest(generate_series(1, nr)) AS row_i FROM d)
+SELECT doc_id, 'S0' AS sheet, row_i, CAST(1 AS BIGINT) AS col_i,
+       'w ' || doc_id || '-' || (row_i - 1) AS value, sk AS kind
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 2,
+       CAST((doc_id * 31 + row_i - 1) % 97 AS VARCHAR), 'n'
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 3,
+       CAST((doc_id + row_i - 1) % 2 AS VARCHAR), 'b'
+FROM r
+UNION ALL
+SELECT doc_id, 'X1', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       'x ' || doc_id, sk
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
 def queries_r4c() -> dict:
-    return {"docx_paragraphs": q_docx_paragraphs}
+    return {"docx_paragraphs": q_docx_paragraphs,
+            "xlsx_cells": q_xlsx_cells}
 
 
 def parity_sql_r4c() -> dict[str, str]:
-    return {"docx_paragraphs": SQL_DOCX_PARAGRAPHS}
+    return {"docx_paragraphs": SQL_DOCX_PARAGRAPHS,
+            "xlsx_cells": SQL_XLSX_CELLS}

@@ -410,6 +410,33 @@ def _docx_payload(rng: random.Random, lang: str) -> bytes:
                       split_runs=rng.random() < 0.5)
 
 
+def _xlsx_payload(rng: random.Random, lang: str) -> bytes:
+    """An OOXML .xlsx (corpus v=16, M32): 1-2 sheets of mixed strings,
+    numbers and booleans, cycling shared vs inline strings and stored
+    vs deflate members — the SpreadsheetML branches on the flagship
+    route."""
+    from ..core.xlsx import build_xlsx
+
+    def sheet_rows() -> list[list[object]]:
+        rows: list[list[object]] = []
+        for _ in range(rng.randint(2, 5)):
+            row: list[object] = [" ".join(_words(rng, lang, rng.randint(1, 3)))]
+            row.append(rng.randint(0, 9999))
+            if rng.random() < 0.4:
+                row.append(rng.random() < 0.5)
+            if rng.random() < 0.2:
+                row.append(None)        # gap: next ref is explicit
+                row.append(" ".join(_words(rng, lang, 2)))
+            rows.append(row)
+        return rows
+
+    sheets = [("Data", sheet_rows())]
+    if rng.random() < 0.3:
+        sheets.append((" ".join(_words(rng, lang, 2)), sheet_rows()))
+    return build_xlsx(sheets, deflate=rng.random() < 0.8,
+                      shared=rng.random() < 0.6)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -424,11 +451,15 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     roll = rng.random()
     if roll < 0.66 or 0.68 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
-    elif roll < 0.68:
-        # corpus v=15: OOXML .docx office documents (M31); the 2% band
-        # sits at [0.66, 0.68) so the 200-row tiny golden corpus draws
-        # several (seed-42 rolls cluster there — rows 14/18/85/127/...)
+    elif roll < 0.672:
+        # corpus v=15: OOXML .docx office documents (M31); the office
+        # band sits at [0.66, 0.68) so the 200-row tiny golden corpus
+        # draws several of each (seed-42 rolls cluster there)
         html = _docx_payload(rng, gen_lang)
+    elif roll < 0.68:
+        # corpus v=16: OOXML .xlsx spreadsheets (M32) take the band's
+        # upper slice — tiny-corpus rows 1/55/142/164/181
+        html = _xlsx_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -472,7 +503,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=15"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=16"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
