@@ -59,13 +59,34 @@ def test_xlsx_cells_duckdb_parity(ray_session, sf_dir):
     assert (got["sheet"] == "X1").sum() > 0
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_pptx_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Every slide paragraph recovered through presentation-rels
+    resolution + the shared paragraph scanner == the doc_id-derived
+    expected strings in SQL."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_PPTX_PARAGRAPHS, q_pptx_paragraphs)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(SQL_PPTX_PARAGRAPHS + " ORDER BY doc_id, slide, "
+                       "para_idx").fetchdf()
+    got = (q_pptx_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "slide", "para_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["slide"] == 2).sum() > 0
+    assert (got["text"] == "").sum() > 0
+
+
 def test_registry_carries_r4c_queries(ray_session):
     """Registered past the pinned 50-row driver window, with SQL."""
     import __ray_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
-    for name in ("docx_paragraphs", "xlsx_cells"):
+    for name in ("docx_paragraphs", "xlsx_cells", "pptx_paragraphs"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
     assert names[49] == "extract_pages"

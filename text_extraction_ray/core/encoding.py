@@ -77,6 +77,8 @@ def sniff_doc_type(payload: bytes) -> str:
             return "docx"
         if b"xl/workbook.xml" in payload:
             return "xlsx"
+        if b"ppt/presentation.xml" in payload:
+            return "pptx"
         return "unknown"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")

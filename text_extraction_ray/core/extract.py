@@ -64,16 +64,19 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
-        if doc_type in ("docx", "xlsx"):
+        if doc_type in ("docx", "xlsx", "pptx"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
             if doc_type == "docx":
                 from .docx import extract_docx
                 r = extract_docx(payload, JOINER)
-            else:
+            elif doc_type == "xlsx":
                 from .xlsx import extract_xlsx
                 r = extract_xlsx(payload, JOINER)
+            else:
+                from .pptx import extract_pptx
+                r = extract_pptx(payload, JOINER)
             body = r["extracted_text"]
             lang = (crawl_lang if crawl_lang in STOPWORDS
                     else vote_lang(body.split(" ")) if body else "en")

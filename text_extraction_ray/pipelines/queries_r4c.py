@@ -163,11 +163,77 @@ FROM d WHERE doc_id % 4 = 0
 """
 
 
+# --- pptx_paragraphs: value-level PresentationML oracle (M33) ------------
+
+def _pptx_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.pptx import build_pptx, parse_pptx
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_slide, o_idx, o_text = [], [], [], []
+    for i in ids:
+        slides: list[list[str]] = []
+        for s in range(1 + i % 2):
+            paras = [f"Slide {i}-{s} & notes"]
+            for k in range(1 + (i + s) % 2):
+                paras.append(
+                    f"line {i}-{s}-{k} v {(i * 13 + s * 7 + k) % 40}")
+            if (i + s) % 3 == 0:
+                paras.append("")
+            slides.append(paras)
+        payload = build_pptx(slides, deflate=i % 3 != 0,
+                             split_runs=i % 2 == 1)
+        at: dict[int, int] = {}
+        for p in parse_pptx(payload):
+            k = at.get(p["slide"], 0)
+            at[p["slide"]] = k + 1
+            o_id.append(i)
+            o_slide.append(p["slide"])
+            o_idx.append(k)
+            o_text.append(p["text"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "slide": pa.array(o_slide, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_pptx_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_pptx_paras_batch, **_PYA))
+
+
+SQL_PPTX_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 1 AS ns FROM documents
+), s AS (
+  SELECT doc_id, unnest(generate_series(0, ns - 1)) AS sl FROM d
+), sb AS (
+  SELECT doc_id, sl, CAST((doc_id + sl) % 2 AS BIGINT) + 1 AS nb,
+         CASE WHEN (doc_id + sl) % 3 = 0 THEN 1 ELSE 0 END AS he
+  FROM s)
+SELECT doc_id, sl + 1 AS slide, CAST(0 AS BIGINT) AS para_idx,
+       'Slide ' || doc_id || '-' || sl || ' & notes' AS text
+FROM sb
+UNION ALL
+SELECT doc_id, sl + 1, 1 + k,
+       'line ' || doc_id || '-' || sl || '-' || k || ' v ' ||
+       (doc_id * 13 + sl * 7 + k) % 40
+FROM sb, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS k) t
+UNION ALL
+SELECT doc_id, sl + 1, 1 + nb, '' FROM sb WHERE he = 1
+"""
+
+
 def queries_r4c() -> dict:
     return {"docx_paragraphs": q_docx_paragraphs,
-            "xlsx_cells": q_xlsx_cells}
+            "xlsx_cells": q_xlsx_cells,
+            "pptx_paragraphs": q_pptx_paragraphs}
 
 
 def parity_sql_r4c() -> dict[str, str]:
     return {"docx_paragraphs": SQL_DOCX_PARAGRAPHS,
-            "xlsx_cells": SQL_XLSX_CELLS}
+            "xlsx_cells": SQL_XLSX_CELLS,
+            "pptx_paragraphs": SQL_PPTX_PARAGRAPHS}

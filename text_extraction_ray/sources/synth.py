@@ -437,6 +437,25 @@ def _xlsx_payload(rng: random.Random, lang: str) -> bytes:
                       shared=rng.random() < 0.6)
 
 
+def _pptx_payload(rng: random.Random, lang: str) -> bytes:
+    """An OOXML .pptx (corpus v=17, M33): 1-3 slides of title + bullet
+    paragraphs, sometimes an empty paragraph and split runs, stored or
+    deflate members — the PresentationML branches on the flagship
+    route."""
+    from ..core.pptx import build_pptx
+
+    slides: list[list[str]] = []
+    for _ in range(rng.randint(1, 3)):
+        paras = [" ".join(_words(rng, lang, rng.randint(2, 5)))]
+        for _ in range(rng.randint(1, 4)):
+            paras.append(_sentence(rng, lang, rng.randint(4, 12)))
+        if rng.random() < 0.25:
+            paras.append("")            # empty paragraph → dropped block
+        slides.append(paras)
+    return build_pptx(slides, deflate=rng.random() < 0.8,
+                      split_runs=rng.random() < 0.5)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -451,15 +470,16 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     roll = rng.random()
     if roll < 0.66 or 0.68 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
-    elif roll < 0.672:
-        # corpus v=15: OOXML .docx office documents (M31); the office
-        # band sits at [0.66, 0.68) so the 200-row tiny golden corpus
-        # draws several of each (seed-42 rolls cluster there)
+    elif roll < 0.6706:
+        # corpus v=15-17: the [0.66, 0.68) office band splits three
+        # ways so the 200-row tiny golden corpus draws two of each
+        # OOXML type (seed-42 rolls: 14/85 docx, 18/1 xlsx, 127/181
+        # pptx)
         html = _docx_payload(rng, gen_lang)
-    elif roll < 0.68:
-        # corpus v=16: OOXML .xlsx spreadsheets (M32) take the band's
-        # upper slice — tiny-corpus rows 1/55/142/164/181
+    elif roll < 0.675:
         html = _xlsx_payload(rng, gen_lang)
+    elif roll < 0.68:
+        html = _pptx_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -503,7 +523,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=16"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=17"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
