@@ -142,7 +142,17 @@ def test_failure_rate_gate(ray_session, tmp_path):
     inp, out = str(tmp_path / "g_in"), str(tmp_path / "g_out")
     from text_extraction_ray.sources.synth import gen_corpus
 
-    gen_corpus(inp, 100, seed=5, n_shards=2)
+    # seed=8 carries 3 garbage rows in its first 100 (seed=5's garbage
+    # band emptied once AES-encrypted PDFs learned to parse — the gate
+    # needs a corpus with a VERIFIED nonzero failure count)
+    gen_corpus(inp, 100, seed=8, n_shards=2)
+    from text_extraction_ray.core.extract import extract_document
+    from text_extraction_ray.sources.synth import make_row
+
+    n_fail = sum(not extract_document(make_row(i, seed=8)["html"],
+                                      make_row(i, seed=8)["lang"])["parse_ok"]
+                 for i in range(100))
+    assert n_fail > 0, "fixture invariant: corpus must carry failures"
     assert main(["--input", inp, "--output", out,
                  "--max-failure-rate", "0.5"]) == 0
     assert main(["--input", inp, "--output", out,
