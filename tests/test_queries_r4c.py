@@ -80,13 +80,34 @@ def test_pptx_paragraphs_duckdb_parity(ray_session, sf_dir):
     assert (got["text"] == "").sum() > 0
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_odt_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Every ODF paragraph recovered through the container + content
+    scan == the doc_id-derived expected strings in SQL — span
+    transparency, entity decode, heading levels and empty-paragraph
+    accounting all inside the hash."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_ODT_PARAGRAPHS, q_odt_paragraphs)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(SQL_ODT_PARAGRAPHS + " ORDER BY doc_id, "
+                       "para_idx").fetchdf()
+    got = (q_odt_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["heading"]) == {0, 1, 2, 3}
+
+
 def test_registry_carries_r4c_queries(ray_session):
     """Registered past the pinned 50-row driver window, with SQL."""
     import __ray_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
-    for name in ("docx_paragraphs", "xlsx_cells", "pptx_paragraphs"):
+    for name in ("docx_paragraphs", "xlsx_cells", "pptx_paragraphs",
+                 "odt_paragraphs"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
     assert names[49] == "extract_pages"

@@ -79,6 +79,8 @@ def sniff_doc_type(payload: bytes) -> str:
             return "xlsx"
         if b"ppt/presentation.xml" in payload:
             return "pptx"
+        if b"application/vnd.oasis.opendocument.text" in payload:
+            return "odt"
         return "unknown"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")

@@ -64,7 +64,7 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
-        if doc_type in ("docx", "xlsx", "pptx"):
+        if doc_type in ("docx", "xlsx", "pptx", "odt"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
@@ -74,9 +74,12 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
             elif doc_type == "xlsx":
                 from .xlsx import extract_xlsx
                 r = extract_xlsx(payload, JOINER)
-            else:
+            elif doc_type == "pptx":
                 from .pptx import extract_pptx
                 r = extract_pptx(payload, JOINER)
+            else:
+                from .odt import extract_odt
+                r = extract_odt(payload, JOINER)
             body = r["extracted_text"]
             lang = (crawl_lang if crawl_lang in STOPWORDS
                     else vote_lang(body.split(" ")) if body else "en")

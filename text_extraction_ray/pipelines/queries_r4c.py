@@ -227,13 +227,72 @@ SELECT doc_id, sl + 1, 1 + nb, '' FROM sb WHERE he = 1
 """
 
 
+# --- odt_paragraphs: value-level ODF oracle (M34) -------------------------
+
+def _odt_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.odt import build_odt, parse_odt, zip_read
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_idx, o_text, o_head = [], [], [], []
+    for i in ids:
+        lvl = 1 + i % 3
+        paras: list[tuple[str, int]] = [(f"Head {i} & §{i % 9}", lvl)]
+        for k in range(1 + i % 2):
+            paras.append((f"odt {i}-{k} v {(i * 11 + k) % 60}", 0))
+        if i % 4 == 0:
+            paras.append(("", 0))
+        payload = build_odt(paras, deflate=i % 3 != 0,
+                            use_spans=i % 2 == 1)
+        xml = zip_read(payload, "content.xml").decode("utf-8")
+        for k, p in enumerate(parse_odt(xml)):
+            o_id.append(i)
+            o_idx.append(k)
+            o_text.append(p["text"])
+            o_head.append(p["heading"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+        "heading": pa.array(o_head, type=pa.int64()),
+    })
+
+
+def q_odt_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_odt_paras_batch, **_PYA))
+
+
+SQL_ODT_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 1 AS nb,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS he,
+         CAST(1 + doc_id % 3 AS BIGINT) AS lvl
+  FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS para_idx,
+       'Head ' || doc_id || ' & §' || (doc_id % 9) AS text,
+       lvl AS heading
+FROM d
+UNION ALL
+SELECT doc_id, 1 + k,
+       'odt ' || doc_id || '-' || k || ' v ' || (doc_id * 11 + k) % 60,
+       CAST(0 AS BIGINT)
+FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS k) t
+UNION ALL
+SELECT doc_id, 1 + nb, '', CAST(0 AS BIGINT) FROM d WHERE he = 1
+"""
+
+
 def queries_r4c() -> dict:
     return {"docx_paragraphs": q_docx_paragraphs,
             "xlsx_cells": q_xlsx_cells,
-            "pptx_paragraphs": q_pptx_paragraphs}
+            "pptx_paragraphs": q_pptx_paragraphs,
+            "odt_paragraphs": q_odt_paragraphs}
 
 
 def parity_sql_r4c() -> dict[str, str]:
     return {"docx_paragraphs": SQL_DOCX_PARAGRAPHS,
             "xlsx_cells": SQL_XLSX_CELLS,
-            "pptx_paragraphs": SQL_PPTX_PARAGRAPHS}
+            "pptx_paragraphs": SQL_PPTX_PARAGRAPHS,
+            "odt_paragraphs": SQL_ODT_PARAGRAPHS}

@@ -456,6 +456,22 @@ def _pptx_payload(rng: random.Random, lang: str) -> bytes:
                       split_runs=rng.random() < 0.5)
 
 
+def _odt_payload(rng: random.Random, lang: str) -> bytes:
+    """An OpenDocument .odt (corpus v=18, M34): heading + body
+    paragraphs, sometimes nested spans and an empty paragraph, stored
+    or deflate members — the ODF branches on the flagship route."""
+    from ..core.odt import build_odt
+
+    paras: list[tuple[str, int]] = [
+        (" ".join(_words(rng, lang, rng.randint(2, 5))), 1)]
+    for _ in range(rng.randint(2, 5)):
+        paras.append((_sentence(rng, lang), 0))
+    if rng.random() < 0.25:
+        paras.append(("", 0))           # empty paragraph → dropped block
+    return build_odt(paras, deflate=rng.random() < 0.8,
+                     use_spans=rng.random() < 0.5)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -471,15 +487,17 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     if roll < 0.66 or 0.68 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
-        # corpus v=15-17: the [0.66, 0.68) office band splits three
-        # ways so the 200-row tiny golden corpus draws two of each
-        # OOXML type (seed-42 rolls: 14/85 docx, 18/1 xlsx, 127/181
-        # pptx)
+        # corpus v=15-18: the [0.66, 0.68) office band splits four
+        # ways so the 200-row tiny golden corpus draws each office
+        # type (seed-42 rolls: 14/85 docx, 18/1 xlsx, 127 pptx,
+        # 181 odt)
         html = _docx_payload(rng, gen_lang)
     elif roll < 0.675:
         html = _xlsx_payload(rng, gen_lang)
-    elif roll < 0.68:
+    elif roll < 0.6775:
         html = _pptx_payload(rng, gen_lang)
+    elif roll < 0.68:
+        html = _odt_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -523,7 +541,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=17"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=18"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
