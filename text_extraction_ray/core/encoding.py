@@ -58,8 +58,8 @@ _XML_ENCODING_RE = re.compile(
 
 
 def sniff_doc_type(payload: bytes) -> str:
-    """Classify raw payload bytes: html | pdf | docx | feed | empty |
-    unknown (M1).
+    """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
+    odt | feed | empty | unknown (M1).
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
     must START with the feed root element (after BOM/whitespace), or
