@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import io
 import zipfile
+import zlib
 
 import pytest
 from hypothesis import given, settings
@@ -229,6 +230,64 @@ def test_extract_document_docx_contract():
     assert row["n_blocks_kept"] == 2
     text = row["extracted_text"]
     assert [text[a:b] for a, b in row["spans"]] == ["Report Title", body]
+
+
+def test_zip_data_descriptor_member_reads_via_central_dir():
+    """Streaming writers set flag bit 3 and zero the LOCAL header's
+    crc/sizes (real data in a trailing descriptor); zip_read must stay
+    correct because it trusts the CENTRAL directory, never the local
+    header."""
+    import struct as _s
+
+    payload = b"descriptor member payload"
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    nb = b"m.txt"
+    local = (_s.pack("<IHHHHHIII", 0x04034B50, 20, 0x08, 0, 0, 0x21,
+                     0, 0, 0)               # bit 3: crc/sizes ZERO here
+             + _s.pack("<HH", len(nb), 0) + nb + payload
+             + _s.pack("<IIII", 0x08074B50, crc, len(payload),
+                       len(payload)))       # the descriptor
+    central = (_s.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0x08,
+                       0, 0, 0x21, crc, len(payload), len(payload),
+                       len(nb), 0, 0, 0, 0, 0, 0) + nb)
+    data = (local + central
+            + _s.pack("<IHHHHIIH", 0x06054B50, 0, 0, 1, 1,
+                      len(central), len(local), 0))
+    assert zip_read(data, "m.txt") == payload
+
+
+def test_parse_footnotes_skips_separators_and_orders():
+    from text_extraction_ray.core.docx import build_docx, parse_footnotes
+
+    payload = build_docx(
+        [("body", "")],
+        footnotes=[(1, ["first note"]),
+                   (2, ["second note p1", "second note p2"])])
+    rows = parse_footnotes(payload)
+    assert rows == [
+        {"fn_id": 1, "text": "first note"},
+        {"fn_id": 2, "text": "second note p1"},
+        {"fn_id": 2, "text": "second note p2"},
+    ]
+
+
+def test_parse_footnotes_absent_member_raises():
+    from text_extraction_ray.core.docx import build_docx, parse_footnotes
+
+    with pytest.raises(ValueError):
+        parse_footnotes(build_docx([("no footnotes here", "")]))
+
+
+def test_footnotes_not_in_flagship_body():
+    """Policy pin (same as ODT note exclusion): footnote text never
+    reaches extract_docx's body — it has its own operator."""
+    from text_extraction_ray.core.docx import build_docx, extract_docx
+
+    payload = build_docx([("body only", "")],
+                         footnotes=[(1, ["secret footnote"])])
+    r = extract_docx(payload, JOINER)
+    assert r["extracted_text"] == "body only"
+    assert "secret" not in r["extracted_text"]
 
 
 def test_extract_document_corrupt_docx_error_routed():

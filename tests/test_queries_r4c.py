@@ -100,6 +100,26 @@ def test_odt_paragraphs_duckdb_parity(ray_session, sf_dir):
     assert set(got["heading"]) == {0, 1, 2, 3}
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_docx_footnotes_duckdb_parity(ray_session, sf_dir):
+    """Footnote paragraphs recovered through the footnotes part (with
+    separator pseudo-footnotes to skip) == the doc_id-derived strings
+    in SQL."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_DOCX_FOOTNOTES, q_docx_footnotes)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(SQL_DOCX_FOOTNOTES + " ORDER BY doc_id, fn_id, "
+                       "para_idx").fetchdf()
+    got = (q_docx_footnotes(sf_dir).to_pandas()
+           .sort_values(["doc_id", "fn_id", "para_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["para_idx"] == 1).sum() > 0   # multi-paragraph notes
+
+
 def test_registry_carries_r4c_queries(ray_session):
     """Registered past the pinned 50-row driver window, with SQL."""
     import __ray_entry__ as e
@@ -107,7 +127,7 @@ def test_registry_carries_r4c_queries(ray_session):
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
     for name in ("docx_paragraphs", "xlsx_cells", "pptx_paragraphs",
-                 "odt_paragraphs"):
+                 "odt_paragraphs", "docx_footnotes"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
     assert names[49] == "extract_pages"

@@ -237,6 +237,43 @@ def extract_docx(payload: bytes, joiner: str) -> dict:
             "n_blocks_dropped": dropped, "parse_ok": True, "error": ""}
 
 
+_FOOTNOTE_RE = re.compile(
+    r"""<(?:\w+:)?footnote\s((?:[^>"']|"[^"]*"|'[^']*')*?)>""")
+_FN_ID_RE = re.compile(r"""(?:^|\s)(?:\w+:)?id\s*=\s*["'](-?\d+)["']""")
+_FN_TYPE_RE = re.compile(r"""(?:^|\s)(?:\w+:)?type\s*=\s*["']([^"']*)["']""")
+_FOOTNOTES_MEMBER = "word/footnotes.xml"
+
+
+def parse_footnotes(data: bytes) -> list[dict]:
+    """word/footnotes.xml → [{"fn_id": int, "text": str}] in document
+    order, one row per footnote PARAGRAPH (footnotes can be
+    multi-paragraph).  Separator/continuation pseudo-footnotes
+    (``w:type``, ECMA-376 §17.11.10) are skipped — they are rendering
+    furniture, not content.  Footnote text is deliberately NOT part of
+    the flagship body (``extract_docx``) — the same policy as ODT note
+    exclusion — this is the dedicated operator for it.  Raises
+    ValueError if the member is absent or malformed (a docx without
+    footnotes has no footnotes.xml)."""
+    xml = zip_read(data, _FOOTNOTES_MEMBER).decode("utf-8", "replace")
+    hay = xml[:_XML_CAP]
+    out: list[dict] = []
+    # split on footnote opens; each segment's paragraphs carry its id
+    opens = list(_FOOTNOTE_RE.finditer(hay))
+    for k, m in enumerate(opens):
+        attrs = m.group(1)
+        tm = _FN_TYPE_RE.search(attrs)
+        if tm and tm.group(1) in ("separator", "continuationSeparator"):
+            continue
+        im = _FN_ID_RE.search(attrs)
+        if not im:
+            continue
+        fn_id = int(im.group(1))
+        end = opens[k + 1].start() if k + 1 < len(opens) else len(hay)
+        for p in parse_docx(hay[m.end():end]):
+            out.append({"fn_id": fn_id, "text": p["text"]})
+    return out
+
+
 # --------------------------------------------------------------------------
 # Writer — minimal valid OOXML package (fixtures stay closed)
 # --------------------------------------------------------------------------
@@ -327,13 +364,41 @@ def build_zip(members: list[tuple[str, bytes]], *, deflate: bool = True) -> byte
     return bytes(out)
 
 
+def build_footnotes_xml(footnotes: list[tuple[int, list[str]]]) -> bytes:
+    """(id, paragraphs) footnotes → word/footnotes.xml, including the
+    separator pseudo-footnotes real writers emit (readers must skip)."""
+    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<w:footnotes xmlns:w="http://schemas.openxmlformats.org/'
+             'wordprocessingml/2006/main">'
+             '<w:footnote w:type="separator" w:id="-1"><w:p><w:r>'
+             "<w:separator/></w:r></w:p></w:footnote>"
+             '<w:footnote w:type="continuationSeparator" w:id="0"><w:p>'
+             "<w:r><w:continuationSeparator/></w:r></w:p></w:footnote>"]
+    for fn_id, paras in footnotes:
+        parts.append(f'<w:footnote w:id="{fn_id}">')
+        parts.extend(_para_xml(t) for t in paras)
+        parts.append("</w:footnote>")
+    parts.append("</w:footnotes>")
+    return "".join(parts).encode()
+
+
 def build_docx(paragraphs: list[tuple[str, str]],
                table_rows: list[list[str]] | None = None,
-               *, deflate: bool = True, split_runs: bool = False) -> bytes:
+               *, deflate: bool = True, split_runs: bool = False,
+               footnotes: list[tuple[int, list[str]]] | None = None
+               ) -> bytes:
     """A minimal valid .docx from (text, style) paragraphs."""
-    return build_zip(
-        [("[Content_Types].xml", _CONTENT_TYPES),
-         ("_rels/.rels", _RELS),
-         (_DOC_MEMBER,
-          build_document_xml(paragraphs, table_rows, split_runs))],
-        deflate=deflate)
+    ct = _CONTENT_TYPES
+    members = [("_rels/.rels", _RELS),
+               (_DOC_MEMBER,
+                build_document_xml(paragraphs, table_rows, split_runs))]
+    if footnotes is not None:
+        ct = ct.replace(
+            b"</Types>",
+            b'<Override PartName="/word/footnotes.xml" ContentType='
+            b'"application/vnd.openxmlformats-officedocument.'
+            b'wordprocessingml.footnotes+xml"/></Types>')
+        members.append((_FOOTNOTES_MEMBER,
+                        build_footnotes_xml(footnotes)))
+    return build_zip([("[Content_Types].xml", ct)] + members,
+                     deflate=deflate)

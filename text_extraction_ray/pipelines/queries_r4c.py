@@ -284,15 +284,71 @@ SELECT doc_id, 1 + nb, '', CAST(0 AS BIGINT) FROM d WHERE he = 1
 """
 
 
+# --- docx_footnotes: value-level footnote-part oracle (M31b) --------------
+
+def _docx_footnotes_batch(batch: pa.Table) -> pa.Table:
+    from ..core.docx import build_docx, parse_footnotes
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_fn, o_idx, o_text = [], [], [], []
+    for i in ids:
+        fns: list[tuple[int, list[str]]] = []
+        for j in range(1 + i % 2):
+            paras = [f"fn {i}-{j}-{k} & ref {(i * 17 + j + k) % 30}"
+                     for k in range(1 + (i + j) % 2)]
+            fns.append((j + 1, paras))
+        payload = build_docx([("body text", "")], footnotes=fns,
+                             deflate=i % 3 != 0)
+        at: dict[int, int] = {}
+        for r in parse_footnotes(payload):
+            k = at.get(r["fn_id"], 0)
+            at[r["fn_id"]] = k + 1
+            o_id.append(i)
+            o_fn.append(r["fn_id"])
+            o_idx.append(k)
+            o_text.append(r["text"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "fn_id": pa.array(o_fn, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_docx_footnotes(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_docx_footnotes_batch, **_PYA))
+
+
+SQL_DOCX_FOOTNOTES = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 1 AS nf FROM documents
+), f AS (
+  SELECT doc_id, unnest(generate_series(1, nf)) AS fn_id FROM d
+), fp AS (
+  SELECT doc_id, fn_id,
+         CAST((doc_id + fn_id - 1) % 2 AS BIGINT) + 1 AS np
+  FROM f)
+SELECT doc_id, fn_id, k AS para_idx,
+       'fn ' || doc_id || '-' || (fn_id - 1) || '-' || k || ' & ref ' ||
+       (doc_id * 17 + fn_id - 1 + k) % 30 AS text
+FROM fp, LATERAL (SELECT unnest(generate_series(0, np - 1)) AS k) t
+"""
+
+
 def queries_r4c() -> dict:
     return {"docx_paragraphs": q_docx_paragraphs,
             "xlsx_cells": q_xlsx_cells,
             "pptx_paragraphs": q_pptx_paragraphs,
-            "odt_paragraphs": q_odt_paragraphs}
+            "odt_paragraphs": q_odt_paragraphs,
+            "docx_footnotes": q_docx_footnotes}
 
 
 def parity_sql_r4c() -> dict[str, str]:
     return {"docx_paragraphs": SQL_DOCX_PARAGRAPHS,
             "xlsx_cells": SQL_XLSX_CELLS,
             "pptx_paragraphs": SQL_PPTX_PARAGRAPHS,
-            "odt_paragraphs": SQL_ODT_PARAGRAPHS}
+            "odt_paragraphs": SQL_ODT_PARAGRAPHS,
+            "docx_footnotes": SQL_DOCX_FOOTNOTES}
