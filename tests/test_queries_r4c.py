@@ -120,6 +120,24 @@ def test_docx_footnotes_duckdb_parity(ray_session, sf_dir):
     assert (got["para_idx"] == 1).sum() > 0   # multi-paragraph notes
 
 
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_rtf_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Paragraphs through the full RTF grammar (cp1252 hex escapes on
+    even ids, \\uN? unicode form on odd, footnote destinations every
+    third doc) == the doc_id-derived strings in SQL."""
+    from text_extraction_ray.pipelines.queries_r4c import (
+        SQL_RTF_PARAGRAPHS, q_rtf_paragraphs)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(SQL_RTF_PARAGRAPHS + " ORDER BY doc_id, "
+                       "para_idx").fetchdf()
+    got = (q_rtf_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_registry_carries_r4c_queries(ray_session):
     """Registered past the pinned 50-row driver window, with SQL."""
     import __ray_entry__ as e
@@ -127,7 +145,7 @@ def test_registry_carries_r4c_queries(ray_session):
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
     for name in ("docx_paragraphs", "xlsx_cells", "pptx_paragraphs",
-                 "odt_paragraphs", "docx_footnotes"):
+                 "odt_paragraphs", "docx_footnotes", "rtf_paragraphs"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
     assert names[49] == "extract_pages"

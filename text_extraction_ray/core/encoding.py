@@ -82,6 +82,8 @@ def sniff_doc_type(payload: bytes) -> str:
         if b"application/vnd.oasis.opendocument.text" in payload:
             return "odt"
         return "unknown"
+    if payload.startswith(b"{\\rtf"):
+        return "rtf"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
     if stripped[:1] == b"<":

@@ -64,7 +64,7 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
-        if doc_type in ("docx", "xlsx", "pptx", "odt"):
+        if doc_type in ("docx", "xlsx", "pptx", "odt", "rtf"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
@@ -77,9 +77,12 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
             elif doc_type == "pptx":
                 from .pptx import extract_pptx
                 r = extract_pptx(payload, JOINER)
-            else:
+            elif doc_type == "odt":
                 from .odt import extract_odt
                 r = extract_odt(payload, JOINER)
+            else:
+                from .rtf import extract_rtf
+                r = extract_rtf(payload, JOINER)
             body = r["extracted_text"]
             lang = (crawl_lang if crawl_lang in STOPWORDS
                     else vote_lang(body.split(" ")) if body else "en")

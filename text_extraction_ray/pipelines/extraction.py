@@ -125,10 +125,10 @@ def extract_pages(
         expr=f"(doc_type == 'html' or doc_type == 'feed') "
              f"and n_bytes >= {GIANT_BYTES}")
     # office containers share the pdf branch: same binary-container
-    # profile, same per-document parse cost shape (M31-M34)
+    # profile, same per-document parse cost shape (M31-M35)
     pdf = sniffed.filter(expr="doc_type == 'pdf' or doc_type == 'docx' "
                               "or doc_type == 'xlsx' or doc_type == 'pptx' "
-                              "or doc_type == 'odt'")
+                              "or doc_type == 'odt' or doc_type == 'rtf'")
     other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
 
     drop = ["doc_type", "n_bytes"]

@@ -338,12 +338,54 @@ FROM fp, LATERAL (SELECT unnest(generate_series(0, np - 1)) AS k) t
 """
 
 
+# --- rtf_paragraphs: value-level RTF-grammar oracle (M35) -----------------
+
+def _rtf_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.rtf import build_rtf, parse_rtf
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_idx, o_text = [], [], []
+    for i in ids:
+        paras = [f"rtf {i}-{k} café — v {(i * 7 + k) % 45}"
+                 for k in range(1 + i % 3)]
+        fn = f"hidden {i}" if i % 3 == 0 else None
+        payload = build_rtf(paras, unicode_form=i % 2 == 1,
+                            with_footnote=fn)
+        for k, t in enumerate(parse_rtf(payload)):
+            o_id.append(i)
+            o_idx.append(k)
+            o_text.append(t)
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_rtf_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_rtf_paras_batch, **_PYA))
+
+
+SQL_RTF_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) + 1 AS np FROM documents)
+SELECT doc_id, k AS para_idx,
+       'rtf ' || doc_id || '-' || k || ' café — v ' ||
+       (doc_id * 7 + k) % 45 AS text
+FROM d, LATERAL (SELECT unnest(generate_series(0, np - 1)) AS k) t
+"""
+
+
 def queries_r4c() -> dict:
     return {"docx_paragraphs": q_docx_paragraphs,
             "xlsx_cells": q_xlsx_cells,
             "pptx_paragraphs": q_pptx_paragraphs,
             "odt_paragraphs": q_odt_paragraphs,
-            "docx_footnotes": q_docx_footnotes}
+            "docx_footnotes": q_docx_footnotes,
+            "rtf_paragraphs": q_rtf_paragraphs}
 
 
 def parity_sql_r4c() -> dict[str, str]:
@@ -351,4 +393,5 @@ def parity_sql_r4c() -> dict[str, str]:
             "xlsx_cells": SQL_XLSX_CELLS,
             "pptx_paragraphs": SQL_PPTX_PARAGRAPHS,
             "odt_paragraphs": SQL_ODT_PARAGRAPHS,
-            "docx_footnotes": SQL_DOCX_FOOTNOTES}
+            "docx_footnotes": SQL_DOCX_FOOTNOTES,
+            "rtf_paragraphs": SQL_RTF_PARAGRAPHS}

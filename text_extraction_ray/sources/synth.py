@@ -472,6 +472,20 @@ def _odt_payload(rng: random.Random, lang: str) -> bytes:
                      use_spans=rng.random() < 0.5)
 
 
+def _rtf_payload(rng: random.Random, lang: str) -> bytes:
+    """An RTF document (corpus v=19, M35): title + body paragraphs,
+    cycling cp1252 hex-escape and \\uN? unicode forms, sometimes an
+    ignorable footnote destination the reader must skip."""
+    from ..core.rtf import build_rtf
+
+    paras = [" ".join(_words(rng, lang, rng.randint(2, 5)))]
+    for _ in range(rng.randint(2, 5)):
+        paras.append(_sentence(rng, lang))
+    fn = _sentence(rng, lang, 5) if rng.random() < 0.3 else None
+    return build_rtf(paras, unicode_form=rng.random() < 0.5,
+                     with_footnote=fn)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -487,17 +501,19 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     if roll < 0.66 or 0.68 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
-        # corpus v=15-18: the [0.66, 0.68) office band splits four
+        # corpus v=15-19: the [0.66, 0.68) office band splits five
         # ways so the 200-row tiny golden corpus draws each office
-        # type (seed-42 rolls: 14/85 docx, 18/1 xlsx, 127 pptx,
-        # 181 odt)
+        # type (seed-42 rolls: 14/85 docx, 18 xlsx, 1 pptx, 127 odt,
+        # 181 rtf)
         html = _docx_payload(rng, gen_lang)
-    elif roll < 0.675:
+    elif roll < 0.673:
         html = _xlsx_payload(rng, gen_lang)
-    elif roll < 0.6775:
+    elif roll < 0.675:
         html = _pptx_payload(rng, gen_lang)
-    elif roll < 0.68:
+    elif roll < 0.678:
         html = _odt_payload(rng, gen_lang)
+    elif roll < 0.68:
+        html = _rtf_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -541,7 +557,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=18"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=19"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
