@@ -82,3 +82,31 @@ def test_unknown_or_nontext_charset_falls_through_totally():
         text, used = decode_html(page)
         assert "hello" in text
         assert used in ("utf-8", "latin-1")
+
+
+def test_xml_prolog_page_mentioning_rss_stays_html():
+    """ADVICE r4 (medium): an XHTML page with an XML prolog whose early
+    body text merely MENTIONS '<rss ' must route html, not feed — the
+    feed branch keys on the FIRST actual element after the prolog."""
+    page = (b'<?xml version="1.0" encoding="utf-8"?>\n'
+            b'<!DOCTYPE html>\n'
+            b'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+            b'<title>About &lt;rss &gt; and <rss : a primer</title></head>'
+            b'<body><p>body text here</p></body></html>')
+    assert sniff_doc_type(page) == "html"
+
+
+def test_xml_prolog_feed_with_comments_and_doctype_routes_feed():
+    """Misc nodes (PI, comment, DOCTYPE) between the prolog and the feed
+    root are skipped; the root element decides."""
+    feed = (b'<?xml version="1.0"?>\n'
+            b'<!-- generator: hand -->\n'
+            b'<?xml-stylesheet type="text/xsl" href="f.xsl"?>\n'
+            b'<rss version="2.0"><channel><title>t</title></channel></rss>')
+    assert sniff_doc_type(feed) == "feed"
+    atom = (b'\xef\xbb\xbf<?xml version="1.0" encoding="utf-8"?>'
+            b'<feed xmlns="http://www.w3.org/2005/Atom"></feed>')
+    assert sniff_doc_type(atom) == "feed"
+    # truncated-inside-comment head: conservative (not feed, not crash)
+    assert sniff_doc_type(b'<?xml version="1.0"?><!-- ' + b"x" * 4096) \
+        != "feed"

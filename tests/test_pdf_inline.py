@@ -104,3 +104,27 @@ def test_split_no_bi_is_noop():
     s = b"BT /F1 12 Tf (BIG IDEAS) Tj ET"   # 'BI'/'ID' inside words
     clean, imgs = split_inline_images(s)
     assert clean == s and imgs == []
+
+
+def test_bi_inside_string_literal_never_blanks_text():
+    """ADVICE r4: 'BI' matched inside a string literal ('(foo) BI (bar)
+    Tj') must not be treated as an image — the header-validation guard
+    skips it, so no legitimate operators are blanked."""
+    stream = b"BT (alpha) Tj (x) BI (bravo) Tj (charlie) Tj ET"
+    out, imgs = split_inline_images(stream)
+    assert out == stream
+    assert imgs == []
+
+
+def test_false_bi_before_real_inline_image():
+    """A false BI whose ID search lands on a REAL later image must be
+    skipped (invalid header) while the real image still parses."""
+    real = (b"BI /Width 2 /Height 1 /BitsPerComponent 8"
+            b" /ColorSpace /DeviceGray ID \x10\x20 EI")
+    stream = (b"BT (delta) BI (echo) Tj ET q " + real +
+              b" Q BT (foxtrot) Tj ET")
+    out, imgs = split_inline_images(stream)
+    assert len(imgs) == 1
+    assert imgs[0][1] == b"\x10\x20"
+    assert b"(delta)" in out and b"(echo)" in out and b"(foxtrot)" in out
+    assert b"/Width 2" not in out  # the real image span is blanked

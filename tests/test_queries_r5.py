@@ -1,0 +1,70 @@
+"""Round-5 batch: legacy binary office parsing oracles (M36-M39)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SCALES = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def _want(sf_dir: str, sql: str, order: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    return con.execute(sql + " ORDER BY " + order).fetchdf()
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_doc_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Every paragraph recovered through the real CFB walk + FIB +
+    piece-table decode == the doc_id-derived expected strings in SQL —
+    FAT/miniFAT addressing, cp1252 vs UTF-16LE pieces, split pieces,
+    both table streams and the field-exclusion rule all inside the
+    hash."""
+    from text_extraction_ray.pipelines.queries_r5 import (
+        SQL_DOC_PARAGRAPHS, q_doc_paragraphs)
+
+    got = (q_doc_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))
+    want = _want(sf_dir, SQL_DOC_PARAGRAPHS, "doc_id, para_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # non-vacuous: field results present, em-dash survived the decode
+    assert got["text"].str.startswith("result ").sum() > 0
+    assert got["text"].str.contains("—").sum() > 0
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_xls_cells_duckdb_parity(ray_session, sf_dir):
+    """Every cell recovered through the BIFF8 record scan == the
+    doc_id-derived expected values in SQL — BoundSheet resolution, SST
+    (with continues), RK/NUMBER equivalence, float formatting and
+    boolean cells all inside the hash."""
+    from text_extraction_ray.pipelines.queries_r5 import (
+        SQL_XLS_CELLS, q_xls_cells)
+
+    got = (q_xls_cells(sf_dir).to_pandas()
+           .sort_values(["doc_id", "sheet", "row_i", "col_i"])
+           .reset_index(drop=True))
+    want = _want(sf_dir, SQL_XLS_CELLS, "doc_id, sheet, row_i, col_i")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["kind"]) == {"s", "inlineStr", "n", "b"}
+    assert (got["sheet"] == "T1").sum() > 0
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_ppt_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """Every slide paragraph recovered through the record-tree walk ==
+    the doc_id-derived expected strings in SQL — container recursion,
+    chars vs bytes atoms and CR paragraph splitting all inside the
+    hash."""
+    from text_extraction_ray.pipelines.queries_r5 import (
+        SQL_PPT_PARAGRAPHS, q_ppt_paragraphs)
+
+    got = (q_ppt_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "slide", "para_idx"])
+           .reset_index(drop=True))
+    want = _want(sf_dir, SQL_PPT_PARAGRAPHS, "doc_id, slide, para_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["slide"] == 2).sum() > 0
+    assert (got["text"] == "").sum() > 0
+    assert got["text"].str.contains("…").sum() > 0

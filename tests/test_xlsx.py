@@ -199,3 +199,21 @@ def test_extract_document_corrupt_xlsx_error_routed():
     assert not row["parse_ok"]
     assert row["error"].startswith("xlsx:")
     assert row["extracted_text"] == ""
+
+
+def test_phonetic_rph_runs_excluded_from_cell_text():
+    """ADVICE r4: <rPh> phonetic runs (furigana) and <phoneticPr> inside
+    an <si> are hints, not cell text — standard readers exclude them."""
+    data = build_xlsx([("S", [["placeholder"]])])
+    ss = zip_read(data, "xl/sharedStrings.xml").decode()
+    hacked = ss.replace(
+        '<si><t xml:space="preserve">placeholder</t></si>',
+        '<si><r><t xml:space="preserve">東京</t></r>'
+        '<rPh sb="0" eb="2"><t>トウキョウ</t></rPh>'
+        '<phoneticPr fontId="1" type="katakana"/></si>')
+    assert hacked != ss
+    from text_extraction_ray.core.docx import build_zip, zip_entries
+    members = [(n, hacked.encode() if n == "xl/sharedStrings.xml"
+                else zip_read(data, n)) for n in zip_entries(data)]
+    cells = parse_xlsx(build_zip(members))
+    assert cells[0]["value"] == "東京"

@@ -57,14 +57,46 @@ _XML_ENCODING_RE = re.compile(
     re.IGNORECASE)
 
 
+def _skip_xml_misc(buf: bytes) -> bytes:
+    """Advance past leading XML misc nodes — ``<?...?>`` processing
+    instructions (incl. the prolog), ``<!--...-->`` comments and
+    ``<!...>`` declarations (DOCTYPE) — plus whitespace, returning the
+    suffix that starts at the first actual element (or b'' if the head
+    buffer ends inside a misc node).  Used so the feed route keys on the
+    ROOT element only, never on feed markup mentioned in body text."""
+    i, n = 0, len(buf)
+    while True:
+        while i < n and buf[i:i + 1] in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        if buf[i:i + 2] == b"<?":
+            end = buf.find(b"?>", i + 2)
+            if end < 0:
+                return b""
+            i = end + 2
+        elif buf[i:i + 4] == b"<!--":
+            end = buf.find(b"-->", i + 4)
+            if end < 0:
+                return b""
+            i = end + 3
+        elif buf[i:i + 2] == b"<!":
+            end = buf.find(b">", i + 2)
+            if end < 0:
+                return b""
+            i = end + 1
+        else:
+            return buf[i:]
+
+
 def sniff_doc_type(payload: bytes) -> str:
     """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
-    odt | feed | empty | unknown (M1).
+    odt | rtf | doc | xls | ppt | feed | empty | unknown (M1).
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
-    must START with the feed root element (after BOM/whitespace), or
-    carry an XML prolog whose first 2 KiB contain one — an HTML page
-    merely MENTIONING ``<rss`` never routes here."""
+    must START with the feed root element (after BOM/whitespace), or —
+    when an XML prolog is present — the FIRST actual element after the
+    prolog/comments/DOCTYPE must be the feed root.  A page (XHTML or
+    otherwise) merely MENTIONING ``<rss`` in early text never routes
+    here (ADVICE r4: the old branch searched the whole 2 KiB head)."""
     if not payload:
         return "empty"
     if payload.startswith(PDF_MAGIC):
@@ -84,12 +116,25 @@ def sniff_doc_type(payload: bytes) -> str:
         return "unknown"
     if payload.startswith(b"{\\rtf"):
         return "rtf"
+    if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2/CFB container (M36-M39): directory-entry names occur
+        # verbatim as UTF-16LE in the directory sectors, so the
+        # container routes by its content stream; any other compound
+        # file stays on the error route
+        if "WordDocument".encode("utf-16-le") in payload:
+            return "doc"
+        if "Workbook".encode("utf-16-le") in payload:
+            return "xls"
+        if "PowerPoint Document".encode("utf-16-le") in payload:
+            return "ppt"
+        return "unknown"
     head = payload[:2048]
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
     if stripped[:1] == b"<":
         if _FEED_ROOT_RE.match(stripped):
             return "feed"
-        if stripped.startswith(b"<?xml") and _FEED_ROOT_RE.search(head):
+        if stripped.startswith(b"<?xml") and \
+                _FEED_ROOT_RE.match(_skip_xml_misc(stripped)):
             return "feed"
     if _MARKUP_HINT_RE.search(head):
         return "html"

@@ -64,7 +64,8 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
-        if doc_type in ("docx", "xlsx", "pptx", "odt", "rtf"):
+        if doc_type in ("docx", "xlsx", "pptx", "odt", "rtf",
+                        "doc", "xls", "ppt"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
@@ -80,6 +81,15 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
             elif doc_type == "odt":
                 from .odt import extract_odt
                 r = extract_odt(payload, JOINER)
+            elif doc_type == "doc":
+                from .doc_legacy import extract_doc
+                r = extract_doc(payload, JOINER)
+            elif doc_type == "xls":
+                from .xls_legacy import extract_xls
+                r = extract_xls(payload, JOINER)
+            elif doc_type == "ppt":
+                from .ppt_legacy import extract_ppt
+                r = extract_ppt(payload, JOINER)
             else:
                 from .rtf import extract_rtf
                 r = extract_rtf(payload, JOINER)

@@ -750,6 +750,35 @@ _INLINE_FULL = {
 }
 
 
+_INLINE_KEYS = frozenset((
+    b"Width", b"Height", b"BitsPerComponent", b"ColorSpace", b"Filter",
+    b"DecodeParms", b"Decode", b"ImageMask", b"Interpolate", b"Length",
+    b"Intent"))
+_HDR_KEY_RE = re.compile(rb"\s*/([A-Za-z0-9]+)")
+_HDR_VAL_RE = re.compile(
+    rb"\s*(?:/[A-Za-z0-9]*|[+-]?\d+(?:\.\d+)?|true|false|null"
+    rb"|\[[^][]*\]|<<.*?>>)", re.DOTALL)
+
+
+def _valid_inline_header(hdr: bytes) -> bool:
+    """True iff ``hdr`` (abbrevs already expanded) parses as a dict body
+    of KNOWN inline-image keys — the guard that keeps a ``BI`` matched
+    inside a string literal (``(foo) BI (bar) Tj``) from being treated
+    as an image and blanking legitimate text operators (ADVICE r4)."""
+    i, n, saw = 0, len(hdr), False
+    while i < n:
+        km = _HDR_KEY_RE.match(hdr, i)
+        if km is None:
+            return saw and hdr[i:].strip() == b""
+        if km.group(1) not in _INLINE_KEYS:
+            return False
+        vm = _HDR_VAL_RE.match(hdr, km.end())
+        if vm is None:
+            return False
+        i, saw = vm.end(), True
+    return saw
+
+
 def split_inline_images(stream: bytes
                         ) -> tuple[bytes, list[tuple[bytes, bytes]]]:
     """Split a content stream into (stream with image spans blanked,
@@ -776,11 +805,17 @@ def split_inline_images(stream: bytes
             break
         idm = _ID_TOKEN_RE.search(stream, m.end())
         if idm is None:
-            spans.append((m.start(), len(stream)))
+            # truncated REAL image (header follows) blanks to EOS; a
+            # bare false-positive BI (e.g. inside a string) is skipped
+            if re.match(rb"\s*/", stream[m.end():m.end() + 4]):
+                spans.append((m.start(), len(stream)))
             break
         hdr = _INLINE_ABBREV_RE.sub(
             lambda am: b"/" + _INLINE_FULL[am.group(1)],
             stream[m.end():idm.start()])
+        if not _valid_inline_header(hdr):
+            pos = m.end()                        # not an image — move on
+            continue
         data_start = idm.end() + 1               # one ws byte after ID
         wm = _IMG_WIDTH_RE.search(hdr)
         hm = _IMG_HEIGHT_RE.search(hdr)

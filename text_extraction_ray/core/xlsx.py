@@ -97,20 +97,26 @@ def _sheet_parts(data: bytes, entries: dict) -> list[tuple[str, str]]:
 
 
 def _shared_strings(data: bytes, entries: dict) -> list[str]:
-    """sharedStrings.xml → the <si> table; rich-text runs concatenate."""
+    """sharedStrings.xml → the <si> table; rich-text runs concatenate.
+
+    ``<rPh>`` phonetic runs (furigana hints, common in Japanese
+    workbooks) and ``<phoneticPr>`` are NOT cell text — standard readers
+    exclude them, so ``<t>`` capture is suppressed inside them
+    (ADVICE r4)."""
     if _SHARED not in entries:
         return []
     xml = zip_read(data, _SHARED, entries).decode("utf-8", "replace")
     out: list[str] = []
     buf: list[str] = []
     in_si = in_t = False
+    ph_depth = 0       # nesting inside <rPh>/<phoneticPr>
     hay = xml[:_XML_CAP]
     i, n = 0, len(hay)
     while i < n:
         lt = hay.find("<", i)
         if lt < 0:
             break
-        if in_t and lt > i:
+        if in_t and lt > i and ph_depth == 0:
             buf.append(hay[i:lt])
         m = _TAG_RE.match(hay, lt)
         if not m:
@@ -122,8 +128,14 @@ def _shared_strings(data: bytes, entries: dict) -> list[str]:
             if closing or selfclose:
                 out.append(decode_entities("".join(buf)))
                 buf, in_si, in_t = [], False, False
+                ph_depth = 0
             else:
-                buf, in_si = [], True
+                buf, in_si, ph_depth = [], True, 0
+        elif name in ("rph", "phoneticpr") and in_si:  # _local lowercases
+            if closing:
+                ph_depth = max(0, ph_depth - 1)
+            elif not selfclose:
+                ph_depth += 1
         elif name == "t" and in_si:
             in_t = not closing and not selfclose
         i = m.end()

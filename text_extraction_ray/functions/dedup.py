@@ -26,6 +26,7 @@ import sys
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
@@ -296,13 +297,14 @@ def minhash_lsh_pairs_lean(ds: ray.data.Dataset, id_col: str = "doc_id",
               f"budget {_LEAN_CANDIDATE_CAP}; truncating (use the "
               f"distributed-join variant beyond this)", file=sys.stderr)
         cand = cand.sort_values(["doc_a", "doc_b"]).iloc[:_LEAN_CANDIDATE_CAP]
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    need_ref = ray.put(need)
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    need_ref = ray.put(pa.array(need, type=pa.int64()))
 
     def sigs_for_candidates(b: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
+        mask = pc.is_in(b.column(id_col), value_set=wanted).to_numpy(
+            zero_copy_only=False)
         ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
-        mask = np.array([i in wanted for i in ids], dtype=bool)
         if not mask.any():
             return pa.table({
                 "doc_id": pa.array([], type=pa.int64()),

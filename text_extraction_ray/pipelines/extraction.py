@@ -128,7 +128,9 @@ def extract_pages(
     # profile, same per-document parse cost shape (M31-M35)
     pdf = sniffed.filter(expr="doc_type == 'pdf' or doc_type == 'docx' "
                               "or doc_type == 'xlsx' or doc_type == 'pptx' "
-                              "or doc_type == 'odt' or doc_type == 'rtf'")
+                              "or doc_type == 'odt' or doc_type == 'rtf' "
+                              "or doc_type == 'doc' or doc_type == 'xls' "
+                              "or doc_type == 'ppt'")
     other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
 
     drop = ["doc_type", "n_bytes"]

@@ -1,0 +1,229 @@
+"""Round-5 batch: legacy binary office (OLE2/CFB) parsing oracles
+(M36-M39).
+
+Same discipline as the round-4 OOXML batch (``queries_r4c.py``): per
+``doc_id`` a deterministic legacy document is BUILT (cycling every
+container/encoding variant the reader must hold), run through the REAL
+CFB + format parser, and the oracle recomputes every expected string in
+SQL from ``doc_id`` — a value-level check where any drift in the FAT
+walk, mini-stream addressing, piece-table decode, SST continuation or
+record scan breaks the hash match.
+
+- ``doc_paragraphs`` — .doc: cp1252 vs UTF-16LE pieces (``id % 2``),
+  split-mid-text pieces (``id % 3``), either table stream, a field
+  construct on ``id % 4 == 0`` whose instruction text must be excluded
+  while its result text is kept.
+- ``xls_cells`` — .xls BIFF8: shared (SST) vs inline Label strings
+  (``id % 2``), RK vs NUMBER records (``id % 3``) which must be
+  value-invisible, float formatting pinned, booleans, a second sheet
+  every fourth doc.
+- ``ppt_paragraphs`` — .ppt: TextCharsAtom vs TextBytesAtom
+  (``id % 2``; ids with a non-latin-1 ellipsis force chars), empty
+  paragraphs, multi-slide ordering.
+
+Scale shape: pure ``map_batches`` scans over a pruned single-column
+read — zero shuffle, per-doc work bounded by the tiny synthetic
+payload.  In production the same parsers run inside the flagship
+extraction actor pool (``pipelines/extraction.py`` routes ``doc``/
+``xls``/``ppt`` through the binary-container branch).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+_PYA = {"batch_format": "pyarrow", "zero_copy_batch": True}
+
+
+# --- doc_paragraphs: value-level [MS-DOC] oracle (M37) --------------------
+
+def _doc_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.doc_legacy import build_doc, parse_doc
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_idx, o_text = [], [], []
+    for i in ids:
+        paras = [f"Title {i} — sec {i % 7}"]
+        for k in range(1 + i % 3):
+            paras.append(f"para {i}-{k} w {(i * 11 + k) % 60}")
+        field = (("REF anchor", f"result {i % 9}")
+                 if i % 4 == 0 else None)
+        payload = build_doc(paras, unicode_pieces=i % 2 == 1,
+                            which_tbl=i % 2, split_pieces=i % 3 == 0,
+                            field=field)
+        for k, p in enumerate(parse_doc(payload)):
+            o_id.append(i)
+            o_idx.append(k)
+            o_text.append(p)
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_doc_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_doc_paras_batch, **_PYA))
+
+
+SQL_DOC_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) + 1 AS nb,
+         (doc_id % 4 = 0) AS hf
+  FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS para_idx,
+       CASE WHEN hf THEN 'result ' || (doc_id % 9) || ' ' ELSE '' END
+         || 'Title ' || doc_id || ' — sec ' || (doc_id % 7) AS text
+FROM d
+UNION ALL
+SELECT doc_id, 1 + k,
+       'para ' || doc_id || '-' || k || ' w ' || (doc_id * 11 + k) % 60
+FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS k) t
+"""
+
+
+# --- xls_cells: value-level BIFF8 oracle (M38) ----------------------------
+
+def _xls_cells_batch(batch: pa.Table) -> pa.Table:
+    from ..core.xls_legacy import build_xls, parse_xls
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_sheet, o_row, o_col, o_val, o_kind = [], [], [], [], [], []
+    for i in ids:
+        nr = 2 + i % 2
+        rows: list[list[object]] = [
+            [f"v {i}-{r}", (i * 31 + r) % 97 - 40,
+             float((i * 7 + r) % 50) + 0.5, bool((i + r) % 2)]
+            for r in range(nr)]
+        sheets = [("S0", rows)]
+        if i % 4 == 0:
+            sheets.append(("T1", [[f"t {i}"]]))
+        payload = build_xls(sheets, shared=i % 2 == 0,
+                            use_rk=i % 3 != 0)
+        for c in parse_xls(payload):
+            o_id.append(i)
+            o_sheet.append(c["sheet"])
+            o_row.append(c["row"])
+            o_col.append(c["col"])
+            o_val.append(str(c["value"]))
+            o_kind.append(c["kind"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "sheet": pa.array(o_sheet, type=pa.string()),
+        "row_i": pa.array(o_row, type=pa.int64()),
+        "col_i": pa.array(o_col, type=pa.int64()),
+        "value": pa.array(o_val, type=pa.string()),
+        "kind": pa.array(o_kind, type=pa.string()),
+    })
+
+
+def q_xls_cells(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_xls_cells_batch, **_PYA))
+
+
+SQL_XLS_CELLS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 2 AS nr,
+         CASE WHEN doc_id % 2 = 0 THEN 's' ELSE 'inlineStr' END AS sk
+  FROM documents
+), r AS (
+  SELECT doc_id, sk, unnest(generate_series(1, nr)) AS row_i FROM d)
+SELECT doc_id, 'S0' AS sheet, row_i, CAST(1 AS BIGINT) AS col_i,
+       'v ' || doc_id || '-' || (row_i - 1) AS value, sk AS kind
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 2,
+       CAST((doc_id * 31 + row_i - 1) % 97 - 40 AS VARCHAR), 'n'
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 3,
+       CAST((doc_id * 7 + row_i - 1) % 50 AS VARCHAR) || '.5', 'n'
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 4,
+       CAST((doc_id + row_i - 1) % 2 AS VARCHAR), 'b'
+FROM r
+UNION ALL
+SELECT doc_id, 'T1', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       't ' || doc_id, sk
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
+# --- ppt_paragraphs: value-level [MS-PPT] oracle (M39) --------------------
+
+def _ppt_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.ppt_legacy import build_ppt, parse_ppt
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_slide, o_idx, o_text = [], [], [], []
+    for i in ids:
+        slides: list[list[str]] = []
+        for s in range(1 + i % 2):
+            paras = [f"Slide {i}-{s}" + (" …" if i % 5 == 0 else "")]
+            for k in range(1 + (i + s) % 2):
+                paras.append(f"line {i}-{s}-{k} v {(i * 13 + s * 7 + k) % 40}")
+            if (i + s) % 3 == 0:
+                paras.append("")
+            slides.append(paras)
+        payload = build_ppt(slides, chars_atoms=i % 2 == 1)
+        for p in parse_ppt(payload):
+            o_id.append(i)
+            o_slide.append(p["slide"])
+            o_idx.append(p["para_idx"])
+            o_text.append(p["text"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "slide": pa.array(o_slide, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_ppt_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_ppt_paras_batch, **_PYA))
+
+
+SQL_PPT_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 1 AS ns,
+         (doc_id % 5 = 0) AS ell
+  FROM documents
+), s AS (
+  SELECT doc_id, ell, unnest(generate_series(0, ns - 1)) AS sl FROM d)
+SELECT doc_id, sl + 1 AS slide, CAST(0 AS BIGINT) AS para_idx,
+       'Slide ' || doc_id || '-' || sl
+         || CASE WHEN ell THEN ' …' ELSE '' END AS text
+FROM s
+UNION ALL
+SELECT doc_id, sl + 1, 1 + k,
+       'line ' || doc_id || '-' || sl || '-' || k || ' v '
+         || (doc_id * 13 + sl * 7 + k) % 40
+FROM s, LATERAL (SELECT unnest(generate_series(
+    0, (doc_id + sl) % 2)) AS k) t
+UNION ALL
+SELECT doc_id, sl + 1, 2 + (doc_id + sl) % 2, ''
+FROM s WHERE (doc_id + sl) % 3 = 0
+"""
+
+
+def queries_r5() -> dict:
+    return {"doc_paragraphs": q_doc_paragraphs,
+            "xls_cells": q_xls_cells,
+            "ppt_paragraphs": q_ppt_paragraphs}
+
+
+def parity_sql_r5() -> dict[str, str]:
+    return {"doc_paragraphs": SQL_DOC_PARAGRAPHS,
+            "xls_cells": SQL_XLS_CELLS,
+            "ppt_paragraphs": SQL_PPT_PARAGRAPHS}

@@ -28,7 +28,8 @@ OUT = pa.schema(
         ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()),
         ("doc_type", pa.string()),       # html | pdf | feed | docx | xlsx
-                                         # | pptx | odt | empty | unknown
+                                         # | pptx | odt | rtf | doc | xls
+                                         # | ppt | empty | unknown
         ("extracted_text", pa.string()),  # THE byte-identical payload
         ("spans", pa.list_(SPAN)),
         ("n_blocks_kept", pa.int32()),

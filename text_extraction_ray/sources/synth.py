@@ -486,6 +486,56 @@ def _rtf_payload(rng: random.Random, lang: str) -> bytes:
                      with_footnote=fn)
 
 
+def _doc_payload(rng: random.Random, lang: str) -> bytes:
+    """A legacy Word .doc (corpus v=20, M37): CFB container + piece
+    table, cycling cp1252 vs unicode pieces, split pieces, either
+    table stream, sometimes a field construct whose instruction text
+    must be excluded."""
+    from ..core.doc_legacy import build_doc
+
+    paras = [" ".join(_words(rng, lang, rng.randint(2, 5)))]
+    for _ in range(rng.randint(2, 5)):
+        paras.append(_sentence(rng, lang))
+    field = (("HYPERLINK http://x.example", _sentence(rng, lang, 4))
+             if rng.random() < 0.3 else None)
+    return build_doc(paras, unicode_pieces=rng.random() < 0.5,
+                     which_tbl=rng.randrange(2),
+                     split_pieces=rng.random() < 0.5, field=field)
+
+
+def _xls_payload(rng: random.Random, lang: str) -> bytes:
+    """A legacy Excel .xls (corpus v=20, M38): BIFF8 workbook of mixed
+    strings/numbers/bools, shared vs inline strings, RK vs NUMBER."""
+    from ..core.xls_legacy import build_xls
+
+    nr = rng.randint(2, 4)
+    rows = []
+    for r in range(nr):
+        rows.append([" ".join(_words(rng, lang, rng.randint(1, 3))),
+                     rng.randint(-10000, 10000),
+                     rng.random() < 0.5])
+    sheets = [("Sheet1", rows)]
+    if rng.random() < 0.3:
+        sheets.append((" ".join(_words(rng, lang, 1)),
+                       [[_sentence(rng, lang, 4)]]))
+    return build_xls(sheets, shared=rng.random() < 0.7,
+                     use_rk=rng.random() < 0.5)
+
+
+def _ppt_payload(rng: random.Random, lang: str) -> bytes:
+    """A legacy PowerPoint .ppt (corpus v=20, M39): slide containers of
+    text atoms, chars vs bytes form cycled."""
+    from ..core.ppt_legacy import build_ppt
+
+    slides = []
+    for _ in range(rng.randint(1, 3)):
+        paras = [" ".join(_words(rng, lang, rng.randint(2, 4)))]
+        for _ in range(rng.randint(1, 3)):
+            paras.append(_sentence(rng, lang))
+        slides.append(paras)
+    return build_ppt(slides, chars_atoms=rng.random() < 0.5)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -498,7 +548,7 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.66 or 0.68 <= roll < 0.70:
+    if roll < 0.66 or 0.687 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
         # corpus v=15-19: the [0.66, 0.68) office band splits five
@@ -514,6 +564,13 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         html = _odt_payload(rng, gen_lang)
     elif roll < 0.68:
         html = _rtf_payload(rng, gen_lang)
+    elif roll < 0.683:
+        # corpus v=20: the [0.68, 0.687) legacy-binary band (M37-M39)
+        html = _doc_payload(rng, gen_lang)
+    elif roll < 0.685:
+        html = _xls_payload(rng, gen_lang)
+    elif roll < 0.687:
+        html = _ppt_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -557,7 +614,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=19"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=20"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
