@@ -39,7 +39,7 @@ def test_cdx_roundtrip_property(tmp_path_factory, recs):
         off, ln = int(off), int(ln)
         assert off == pos
         pos += ln
-        (got_url, _, got_body), = parse_warc(
+        (got_url, _, got_body, _e), = parse_warc(
             gzip.decompress(blob[off:off + ln]))
         assert (got_url, got_body) == (url, body)
     assert pos == len(blob)

@@ -25,7 +25,7 @@ def test_roundtrip_plain_and_gz(tmp_path):
         p = str(tmp_path / f"t{'gz' if gz else ''}.warc")
         write_warc(p, records, gzip_members=gz)
         got = list(parse_warc(open(p, "rb").read()))
-        assert [(u, t, b) for u, t, b in got] == records
+        assert [(u, t, b) for u, t, b, _e in got] == records
 
 
 def test_non_response_records_skipped(tmp_path):
@@ -122,7 +122,7 @@ def test_corrupt_gzip_salvages_prefix(tmp_path):
     for i in range(second + 10, min(second + 30, len(data))):
         data[i] = 0
     got = list(parse_warc(bytes(data)))
-    assert [u for u, _, _ in got] == ["https://a/x"]
+    assert [u for u, _, _, _e in got] == ["https://a/x"]
     # truncation mid-member never raises
     for cut in (0, 1, 5, second, second + 3, len(data) - 2):
         list(parse_warc(bytes(data[:cut])))
@@ -142,7 +142,7 @@ def test_uri_with_control_chars_roundtrips(tmp_path):
     got = list(parse_warc(open(p, "rb").read()))
     # writer↔parser round-trips every URL BYTE-EXACTLY (the parser inverts
     # _safe_uri's escapes; '%' itself is escaped so the coding is injective)
-    assert got == recs
+    assert [(u, t, b) for u, t, b, _e in got] == recs
     assert _safe_uri("bad\r\nurl") == "bad%0D%0Aurl"
     assert _safe_uri("unicode-ü") == "unicode-ü"
     assert _safe_uri("100%") == "100%25"
@@ -209,7 +209,7 @@ def test_http_encoded_bodies_decode_byte_identically(tmp_path):
     plain = str(tmp_path / "plain.warc")
     write_warc(plain, records)
     want = list(parse_warc(open(plain, "rb").read()))
-    assert [b for _, _, b in want] == [b for _, _, b in records]
+    assert [b for _, _, b, _e in want] == [b for _, _, b in records]
     for enc in ("gzip", "deflate", "chunked"):
         for gz in (False, True):
             p = str(tmp_path / f"enc_{enc}_{gz}.warc")
@@ -274,3 +274,41 @@ def test_http_encoded_body_salvage(tmp_path):
         assert len(_inflate_http_body(bomb, b"gzip")) <= (1 << 16) + (1 << 15)
     finally:
         W._BODY_DECODE_CAP = old
+
+
+def test_brotli_encoding_flagged_not_sniffed(tmp_path, ray_session):
+    """VERDICT r4 Missing #1: a Content-Encoding the layer cannot invert
+    (br — no brotli codec in this sandbox) must be flagged, never fed to
+    the sniffer as if it were markup; extract_warc_pages routes those
+    records to a DISTINCT parse_ok=False error naming the coding."""
+    from text_extraction_ray.sources.warc import (
+        extract_warc_pages, read_warc_pages)
+
+    ok = [("https://b.example/ok", TS,
+           b"<html><body><p>good page text</p></body></html>")]
+    br = [("https://b.example/br", TS, b"\x1b\x03\x80entropy-bytes"),
+          # hostile case: brotli stream that HAPPENS to contain markup
+          ("https://b.example/trap", TS, b"<div>looks like html</div>")]
+    p_ok = str(tmp_path / "ok.warc")
+    p_br = str(tmp_path / "br.warc")
+    write_warc(p_ok, ok)
+    write_warc(p_br, br, http_encoding="br")
+
+    # parser level: bytes pass through losslessly, the coding is flagged
+    got = list(parse_warc(open(p_br, "rb").read()))
+    assert [(u, b, e) for u, _, b, e in got] == [
+        (u, b, "br") for u, _, b in br]
+
+    pages = read_warc_pages([p_ok, p_br], with_encoding=True)
+    out = extract_warc_pages(pages, concurrency=(1, 2), batch_size=8)
+    rows = {r["url"]: r for r in out.take_all()}
+    assert rows["https://b.example/ok"]["parse_ok"]
+    for u in ("https://b.example/br", "https://b.example/trap"):
+        r = rows[u]
+        assert not r["parse_ok"]
+        assert r["error"] == "undecodable content-encoding: br"
+        assert r["doc_type"] == "unknown"
+        assert r["extracted_text"] == ""
+
+    # default read stays exactly PAGES-shaped for schema-checked paths
+    assert "content_encoding" not in read_warc_pages(p_ok).schema().names

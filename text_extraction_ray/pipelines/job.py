@@ -133,7 +133,7 @@ def _iter_shard_tables(shard: str):
         # in bounded space (round 2; was a whole-file read in round 1)
         with open(shard, "rb") as fh:
             rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
-            for url, ts, body in iter_warc_stream(fh):
+            for url, ts, body, _enc in iter_warc_stream(fh):
                 rows["url"].append(url)
                 rows["warc_ts"].append(ts)
                 rows["html"].append(body)

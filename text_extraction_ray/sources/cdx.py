@@ -153,5 +153,7 @@ def fetch_cdx_members(batch: pa.Table) -> pa.Table:
         raise ValueError(
             f"CDX fetch parsed {len(pages)} records from {len(rows)} "
             f"members — index out of step with the WARC")
+    # same default as read_warc_pages: exactly PAGES-shaped downstream
+    pages = pages.drop_columns(["content_encoding"])
     return pages.append_column("bytes_read",
                                pa.array(sizes, type=pa.int64()))
