@@ -68,6 +68,21 @@ class PageBuilder:
             self.y -= LINE_LEADING
         self.y -= REGION_GAP - LINE_LEADING
 
+    def text_lines_codec(self, lines: list[str], codec: str,
+                         x: float = LEFT_X) -> None:
+        """Paragraph shown as single-byte strings under a NAMED base
+        encoding (pair with build_pdf(base_encoding='WinAnsiEncoding' /
+        'MacRomanEncoding'); codec 'cp1252' / 'mac_roman') — the
+        real-world Type1 form with no ToUnicode and no Differences."""
+        for line in lines:
+            raw = line.encode(codec, "replace").decode("latin-1")
+            self.ops.append(
+                f"BT /F1 11 Tf {x:.1f} {self.y:.1f} Td "
+                f"({_esc(raw)}) Tj ET"
+            )
+            self.y -= LINE_LEADING
+        self.y -= REGION_GAP - LINE_LEADING
+
     def text_lines_cid(self, lines: list[str], cmap: dict[str, int],
                        x: float = LEFT_X) -> None:
         """Paragraph shown as TWO-BYTE hex strings under a CID code map
@@ -230,6 +245,7 @@ def differences_array(cmap: dict[str, int]) -> str:
 def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
               code_map: dict[str, int] | None = None,
               encoding_style: str = "tounicode",
+              base_encoding: str | None = None,
               encrypt: str | bool = False) -> bytes:
     """Assemble a complete PDF with xref table and trailer.
 
@@ -273,7 +289,15 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
-    if code_map is None:
+    if code_map is None and base_encoding is not None:
+        # named base encoding, no ToUnicode/Differences — pair with
+        # PageBuilder.text_lines_codec (VERDICT r4 Missing #5)
+        if base_encoding not in ("WinAnsiEncoding", "MacRomanEncoding"):
+            raise ValueError(f"unknown base_encoding {base_encoding!r}")
+        objects.append(
+            (f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             f"/Encoding /{base_encoding} >>").encode())
+    elif code_map is None:
         objects.append(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )  # font

@@ -74,8 +74,14 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
             media.append(encode_bmp(w, h, _synth_raster(i, w, h)))
             mtype.append(BMP_MEDIA_TYPE)
         elif variant == 2:
+            # round 5: cycle the decoder's container variants too —
+            # Adam7 interlace, 16-bit depth, palettized (all exact
+            # roundtrips for the grey rasters this module writes)
             media.append(encode_png(w, h, _synth_raster(i, w, h),
-                                    filter_type=i % 5))
+                                    filter_type=i % 5,
+                                    interlace=(i // 5) % 2 == 1,
+                                    depth=16 if (i // 10) % 3 == 1 else 8,
+                                    palettized=(i // 10) % 3 == 2))
             mtype.append(PNG_MEDIA_TYPE)
         elif variant == 3:
             from ..core.gif import encode_gif

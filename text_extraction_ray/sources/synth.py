@@ -192,6 +192,14 @@ _PDF_UNI_LINES = [
     "日本語 テスト 抽出 処理 結果",
 ]
 
+# corpus v=20: lines encodable under BOTH WinAnsi (cp1252) and MacRoman
+# — the named-base-encoding fonts real Type1 PDFs use (M10j)
+_PDF_BASE_LINES = [
+    "Smart “quotes” and — em-dashes in café prose",
+    "Naïve façade: ±10° of légèreté, § 42",
+    "Äußerst schöne Grüße — München, œuvre complète…",
+]
+
 # CJK paragraphs (corpus v=7): shown as TWO-BYTE codes under a
 # Type0/Identity-H font with a two-byte ToUnicode CMap — exercises the
 # round-4 CID subset in core/pdf.py end to end (the common real-PDF
@@ -270,10 +278,16 @@ def _pdf_payload(rng: random.Random) -> bytes:
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
     cid_lines: list[str] | None = None
+    base_lines: list[str] | None = None
+    base_enc = "WinAnsiEncoding"
     if rng.random() < 0.35:
         unicode_lines = [rng.choice(_PDF_UNI_LINES) for _ in range(2)]
     elif rng.random() < 0.25:          # corpus v=7: Type0/CID CJK pages
         cid_lines = [rng.choice(_PDF_CJK_LINES) for _ in range(2)]
+    elif rng.random() < 0.3:           # corpus v=20: named base encodings
+        base_lines = [rng.choice(_PDF_BASE_LINES) for _ in range(2)]
+        base_enc = ("WinAnsiEncoding" if rng.random() < 0.6
+                    else "MacRomanEncoding")
     pages = []
     for pi in range(n_pages):
         pb = PageBuilder()
@@ -304,6 +318,10 @@ def _pdf_payload(rng: random.Random) -> bytes:
             from ..core.pdf_write import make_cid_map
 
             pb.text_lines_cid(cid_lines, make_cid_map(cid_lines))
+        if base_lines is not None and pi == 0:
+            pb.text_lines_codec(
+                base_lines,
+                "cp1252" if base_enc == "WinAnsiEncoding" else "mac_roman")
         pages.append(pb)
     if unicode_lines is not None:
         from ..core.pdf_write import make_code_map
@@ -321,6 +339,10 @@ def _pdf_payload(rng: random.Random) -> bytes:
             code_map=make_cid_map(cid_lines),
             encoding_style="cid",
             encrypt=_encrypt_spec(rng))
+    if base_lines is not None:
+        return build_pdf(pages, compress=_stream_spec(rng),
+                         base_encoding=base_enc,
+                         encrypt=_encrypt_spec(rng))
     return build_pdf(pages, compress=_stream_spec(rng),
                      encrypt=_encrypt_spec(rng))
 
