@@ -972,7 +972,7 @@ def pdf_images(payload: bytes,
         if (b"/Subtype" not in header or b"/Image" not in header
                 or data is None):
             continue
-        img = _finish_image(header, data)
+        img = _finish_image(header, data, objects)
         if img is not None:
             out.append(img)
     # inline images (BI/ID/EI) ride inside the page content streams,
@@ -989,7 +989,8 @@ def pdf_images(payload: bytes,
     return out
 
 
-def _finish_image(header: bytes, data: bytes
+def _finish_image(header: bytes, data: bytes,
+                  objects: dict | None = None
                   ) -> tuple[int, int, bytes] | None:
     """Common tail for XObject and inline images: read dims, run the
     from-scratch JPEG codec on /DCTDecode payloads (real scanned PDFs
@@ -1038,6 +1039,26 @@ def _finish_image(header: bytes, data: bytes
                     data = (samples * np.uint8(255)).tobytes()
             except ValueError:
                 pass
+    elif b"/JBIG2Decode" in header:
+        # the third office-scanner codec (round 5, M42): MQ-coded
+        # generic regions via core/jbig2.py; /JBIG2Globals streams are
+        # resolved when the caller passed the object table; unsupported
+        # segment kinds keep raw bytes for error routing
+        import numpy as np
+
+        from .jbig2 import decode_jbig2_embedded
+
+        gdata = b""
+        gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", header)
+        if gm and objects is not None and int(gm.group(1)) in objects:
+            gdata = objects[int(gm.group(1))][1] or b""
+        try:
+            bits = decode_jbig2_embedded(data, gdata)
+            if bits.shape == (int(hm.group(1)), int(wm.group(1))):
+                # JBIG2 1 = black → 8-bit DeviceGray
+                data = ((1 - bits) * np.uint8(255)).tobytes()
+        except ValueError:
+            pass
     return int(wm.group(1)), int(hm.group(1)), data
 
 

@@ -12,7 +12,9 @@ PNG predictors (/Predictor >= 10) after Flate/LZW — reusing the
 vectorized unfilter from ``core.raster``.  Image codecs (DCTDecode,
 JPXDecode, CCITTFaxDecode, JBIG2Decode) END the chain with the data as
 delivered — image XObjects carry their own container and are decoded
-by the raster layer, not here.  Any malformed filter input yields
+by the raster layer, not here (DCT via core/jpeg.py, CCITT G4 via
+core/ccitt.py, JBIG2 generic regions via core/jbig2.py since round 5;
+JPXDecode remains raw → error-routed).  Any malformed filter input yields
 ``b""`` (the pre-round-4 zlib-failure convention): extraction routes
 the object to its error column instead of crashing.
 

@@ -512,6 +512,17 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
             filt, abbrev = "/DCTDecode", "/DCT"
         elif image_filter == "raw" and inline:
             data, filt, abbrev = gray, "", ""
+        elif image_filter == "jbig2":
+            # round 5 (M42): MQ-coded generic region; scan rasters are
+            # strictly 0/255 so binarize→JBIG2 is LOSSLESS like G4
+            import numpy as np
+
+            from .jbig2 import encode_jbig2_embedded
+
+            bits = (np.frombuffer(gray, np.uint8).reshape(h, w)
+                    < 128).astype(np.uint8)
+            data = encode_jbig2_embedded(bits)
+            filt, abbrev = "/JBIG2Decode", ""
         elif image_filter in ("ccitt", "ccitt-ba"):
             # the real scanned-document codec: 1-bit G4/MMR (round 4,
             # M30); scan rasters are strictly 0/255 so binarize->G4 is
@@ -528,7 +539,10 @@ def build_image_pdf(images: list[tuple[int, int, bytes]],
         else:
             raise ValueError(f"unknown image_filter {image_filter!r}")
         ccitt = image_filter.startswith("ccitt")
-        bpc = 1 if ccitt else 8
+        if image_filter == "jbig2" and inline:
+            raise ValueError("jbig2: not a permitted inline-image filter "
+                             "(PDF 32000-1 Table 94)")
+        bpc = 1 if (ccitt or image_filter == "jbig2") else 8
         dparms = ""
         if ccitt:
             ba_part = (" /EncodedByteAlign true"

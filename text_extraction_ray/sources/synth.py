@@ -269,12 +269,16 @@ def _pdf_payload(rng: random.Random) -> bytes:
         # of XObjects — the form small real-world scans take; v=14 adds
         # CCITT G4 fax scans (core/ccitt.py M30 — the office-scanner
         # codec; binary rasters round-trip losslessly through 1-bit G4)
+        # v=20 adds JBIG2 (MQ generic region, core/jbig2.py M42) to the
+        # scan-codec cycle; JBIG2 is not a permitted inline filter so
+        # those scans always ride XObjects
+        filt = rng.choice(["flate", "flate", "dct", "dct-prog",
+                           "ccitt", "ccitt-ba", "jbig2"])
         return build_image_pdf(
             [scan_image() for _ in range(rng.randint(1, 2))],
-            image_filter=rng.choice(["flate", "flate", "dct",
-                                     "dct-prog", "ccitt", "ccitt-ba"]),
+            image_filter=filt,
             encrypt=_encrypt_spec(rng),
-            inline=rng.random() < 0.25)
+            inline=filt != "jbig2" and rng.random() < 0.25)
     n_pages = rng.randint(1, 3)
     unicode_lines: list[str] | None = None
     cid_lines: list[str] | None = None
