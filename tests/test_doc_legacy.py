@@ -98,3 +98,22 @@ def test_build_parse_roundtrip_property(paras, uni, split, tbl):
     got = parse_doc(build_doc(paras, unicode_pieces=uni,
                               split_pieces=split, which_tbl=tbl))
     assert got == paras
+
+
+def test_corpus_carries_extractable_legacy_office():
+    """Corpus v=20's [0.68, 0.687) band plants .doc/.xls/.ppt; every
+    planted document must route to its legacy type and extract
+    non-empty text (totality + routing end-to-end)."""
+    from collections import Counter
+
+    from text_extraction_ray.sources.synth import make_row
+
+    seen = Counter()
+    for i in range(3000):
+        row = make_row(i)
+        res = extract_document(row["html"], row["lang"])
+        if res["doc_type"] in ("doc", "xls", "ppt"):
+            seen[res["doc_type"]] += 1
+            assert res["parse_ok"] and res["extracted_text"], (
+                i, res["doc_type"], res["error"])
+    assert seen["doc"] >= 3 and seen["xls"] >= 2 and seen["ppt"] >= 2, seen
