@@ -132,3 +132,39 @@ def test_fuzz_pdf_font_maps_total():
         _parse_tounicode(soup)
         _parse_differences(soup)
         _font_maps(_parse_objects(soup))
+
+
+def test_fuzz_cfb_office_total():
+    """Truncations and bit-flips of real CFB .doc/.xls/.ppt containers
+    never raise through extract_document — they route to parse_ok=False
+    rows or degrade, schema-complete either way."""
+    import numpy as np
+
+    from text_extraction_ray.core.doc_legacy import build_doc
+    from text_extraction_ray.core.ppt_legacy import build_ppt
+    from text_extraction_ray.core.xls_legacy import build_xls
+
+    rng = random.Random(77)
+    blobs = [
+        build_doc(["fuzz doc paragraph one.", "two"], split_pieces=True),
+        build_xls([("S", [["a", 1, True], ["b", 2.5, False]])]),
+        build_ppt([["slide", "line"]]),
+    ]
+    for blob in blobs:
+        for _ in range(40):
+            data = bytearray(blob)
+            mode = rng.randrange(3)
+            if mode == 0:
+                data = data[:rng.randrange(1, len(data))]
+            elif mode == 1:
+                for _k in range(rng.randrange(1, 6)):
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+            else:
+                data = data[:rng.randrange(1, len(data))]
+                for _k in range(rng.randrange(1, 4)):
+                    if data:
+                        data[rng.randrange(len(data))] = rng.randrange(256)
+            r = extract_document(bytes(data), "en")
+            assert KEYS <= set(r)
+            assert isinstance(r["extracted_text"], str)
+            np.testing.assert_equal(isinstance(r["parse_ok"], bool), True)

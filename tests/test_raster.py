@@ -365,3 +365,21 @@ def test_png_palette_malformations_total():
     cut = blob[:plte - 4] + blob[plte + 4 + 768 + 4:]
     with _pytest.raises(ValueError):
         decode_png(bytes(cut))
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """1/2/4-bit greyscale PNGs (scan-as-PNG forms) decode exactly for
+    grey levels on the spec's scaling lattice, interlaced or not."""
+    import numpy as np
+
+    from text_extraction_ray.core.raster import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for depth, levels in ((1, [0, 255]), (2, [0, 85, 170, 255]),
+                          (4, list(range(0, 256, 17)))):
+        for (w, h) in [(1, 1), (7, 3), (8, 8), (13, 11), (17, 5)]:
+            gray = rng.choice(levels, size=w * h).astype("uint8").tobytes()
+            for il in (False, True):
+                got = decode_png(encode_png(w, h, gray,
+                                            depth=depth, interlace=il))
+                assert got == (w, h, gray), (depth, w, h, il)

@@ -127,30 +127,43 @@ def encode_png(width: int, height: int, gray: bytes,
         raise ValueError("gray raster size != width*height")
     if not 0 <= filter_type <= 4:
         raise ValueError("png: filter must be 0..4")
-    if interlace or depth == 16 or palettized:
-        if palettized and depth == 16:
+    if interlace or depth != 8 or palettized:
+        if palettized and depth != 8:
             raise ValueError("png: palettized implies depth 8")
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"png: bit depth {depth} unsupported")
         img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
-        if depth == 16:
-            color, sw = 0, np.repeat(img, 2, axis=1)  # MSB=LSB=v
-        elif palettized:
-            color, sw = 3, img
-        else:
-            color, sw = 0, img
+        color = 3 if palettized else 0
+
+        def rows_of(sub: np.ndarray) -> np.ndarray:
+            if depth == 16:
+                return np.repeat(sub, 2, axis=1)       # MSB=LSB=v
+            if depth == 8:
+                return sub
+            # sub-byte: quantize (lossless iff the grey values are
+            # exact multiples of 255/(2^d-1)) and pack MSB-first
+            q = (sub.astype(np.int32) * ((1 << depth) - 1)
+                 // 255).astype(np.uint8)
+            bits = ((q[:, :, None]
+                     >> np.arange(depth - 1, -1, -1)[None, None, :]) & 1
+                    ).reshape(sub.shape[0], -1).astype(np.uint8)
+            return np.packbits(bits, axis=1)
+
         raw = bytearray()
         if interlace:
             for x0, y0, dx, dy in _ADAM7:
                 sub = img[y0::dy, x0::dx]
                 if sub.size == 0:
                     continue
-                s = np.repeat(sub, 2, axis=1) if depth == 16 else sub
+                s = rows_of(sub)
                 for y in range(s.shape[0]):
                     raw.append(0)
                     raw += s[y].tobytes()
         else:
+            s = rows_of(img)
             for y in range(height):
                 raw.append(0)
-                raw += sw[y].tobytes()
+                raw += s[y].tobytes()
         ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
                            1 if interlace else 0)
         out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
@@ -309,8 +322,11 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", payload))
-            if depth not in (8, 16) or (depth == 16 and color_type == 3):
-                raise ValueError(f"png: bit depth {depth} unsupported")
+            if depth not in (1, 2, 4, 8, 16) or (
+                    depth == 16 and color_type == 3) or (
+                    depth < 8 and color_type == 2):
+                raise ValueError(f"png: bit depth {depth} unsupported "
+                                 f"for colour type {color_type}")
             if color_type not in (0, 2, 3):
                 raise ValueError(
                     f"png: colour type {color_type} unsupported")
@@ -339,23 +355,40 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     except zlib.error as exc:
         raise ValueError(f"png: bad IDAT stream ({exc})") from exc
     channels = 3 if color_type == 2 else 1
-    bpp = channels * (depth // 8)
+    bpp = channels * max(1, depth // 8)
+
+    def _pass_samples(chunk: bytes, pw: int, ph: int) -> np.ndarray:
+        """Unfilter one image/pass → (ph, pw, channels) uint8 samples
+        (MSB byte for 16-bit; unpacked raw values for sub-byte)."""
+        if depth >= 8:
+            m = _unfilter(chunk, pw, ph, bpp)
+            return m.reshape(ph, pw, channels, depth // 8)[:, :, :, 0]
+        rb = (pw * depth + 7) // 8       # filters act on bytes, bpp=1
+        m = _unfilter(chunk, rb, ph, 1)
+        bits = np.unpackbits(m, axis=1)[:, :rb * 8]
+        w8 = (2 ** np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(ph, -1, depth)
+                * w8[None, None, :]).sum(axis=2).astype(np.uint8)
+        return vals[:, :pw, None]
+
+    def _pass_bytes(pw: int, ph: int) -> int:
+        rb = pw * bpp if depth >= 8 else (pw * depth + 7) // 8
+        return (rb + 1) * ph
+
     if interlace == 0:
-        mat = _unfilter(raw, width, height, bpp)
+        px = _pass_samples(raw, width, height)
     else:
-        mat = np.zeros((height, width * bpp), dtype=np.uint8)
-        view = mat.reshape(height, width, bpp)
+        px = np.zeros((height, width, channels), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, (width - x0 + dx - 1) // dx)
             ph = max(0, (height - y0 + dy - 1) // dy)
             if pw == 0 or ph == 0:
                 continue
-            need = (pw * bpp + 1) * ph
-            sub = _unfilter(raw[off:off + need], pw, ph, bpp)
+            need = _pass_bytes(pw, ph)
+            px[y0::dy, x0::dx, :] = _pass_samples(
+                raw[off:off + need], pw, ph)
             off += need
-            view[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
-    px = mat.reshape(height, width, channels, depth // 8)[:, :, :, 0]
     if color_type == 2:
         p32 = px.astype(np.int32)                      # R, G, B (MSB)
         gray = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
@@ -371,6 +404,9 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         gray = lut[idx]
     else:
         gray = px[:, :, 0]
+        if depth < 8:                  # spec sample scaling v*255/(2^d-1)
+            gray = (gray.astype(np.int32) * 255
+                    // ((1 << depth) - 1)).astype(np.uint8)
     return width, height, np.ascontiguousarray(gray).tobytes()
 
 
