@@ -73,3 +73,29 @@ def test_deskewing_reader_recovers_under_every_shear(lines, s):
         sk[y, off:off + w] = dark[y]
     got = ex._read_page(ex._page_dist(sk))
     assert got == [" ".join(str(v) for v in ws) for ws in lines]
+
+
+@given(_lines_strategy,
+       st.integers(min_value=-MAX_SHEAR, max_value=MAX_SHEAR),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=80, deadline=None)
+def test_fast_page_dist_matches_reference(lines, s, seed):
+    """The row-decomposed deskew scorer is byte-identical to the direct
+    per-shear unshear+dist-tensor formulation — same winning shear, same
+    returned dist tensor — including under ~1.5% salt-and-pepper noise
+    (noise is what makes the margin rule's tie-breaking observable)."""
+    ex = DeskewingPageTextExtractor()
+    dark = _render(lines)
+    h, w = dark.shape
+    sk = np.zeros((h, w + abs(s)), dtype=bool)
+    base = abs(s) if s < 0 else 0
+    for y in range(h):
+        off = base + round(s * y / (h - 1)) if h > 1 else 0
+        sk[y, off:off + w] = dark[y]
+    rng = np.random.default_rng(seed)
+    sk = sk ^ (rng.random(sk.shape) < 0.015)
+    fast = ex._page_dist(sk)
+    fast_shear = ex.last_shear
+    ref = ex._page_dist_reference(sk)
+    assert fast_shear == ex.last_shear
+    assert np.array_equal(fast, ref)

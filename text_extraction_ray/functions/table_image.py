@@ -809,14 +809,84 @@ class DeskewingPageTextExtractor(PageTextExtractor):
     shear that damages even one glyph loses far more — without the
     margin, a noise-lucky +1 at a damaging shear misread 1/27000 lines
     (doc 4263: q 322 at s=-4 vs 321 at the true s=0).
-    2·MAX_SHEAR+1 dist-tensor passes over a small page — bounded,
-    deterministic, no rotation resampling."""
+    Naively that is 2·MAX_SHEAR+1 full dist-tensor passes; instead the
+    Hamming distance is decomposed PER GLYPH ROW (disjoint 5-bit groups
+    of the 35-bit window ⇒ dist = Σ_dy rowdist(dy)).  Because the shear
+    only shifts whole pixel ROWS horizontally, the per-row distances are
+    shear-invariant up to a column offset: pack every row's 5-px windows
+    once on the zero-padded ORIGINAL page, gather a (32, 10, 7) popcount
+    table into RD[y, x, digit, dy], and each candidate shear's full dist
+    tensor is then just 7 offset-banded uint8 adds — byte-identical to
+    the per-shear ``_dist_tensor(_unshear(...))`` result (pinned by
+    test) at ~4× less work, and the winning shear's tensor is already
+    materialized.  The zero right-pad of width MAX_SHEAR makes the
+    gathered row windows agree exactly with ``_unshear``'s light-padded
+    rows for every offset."""
 
     _SHEAR_MARGIN = 4
+    _SHEARS = tuple(sorted(range(-MAX_SHEAR, MAX_SHEAR + 1), key=abs))
+
+    def __init__(self, match_max_dist: int = 12) -> None:
+        super().__init__(match_max_dist)
+        # P[v, digit, dy] = popcount(v ^ row dy of digit's 5-bit mask)
+        P = np.zeros((1 << GLYPH_W, 10, GLYPH_H), dtype=np.uint8)
+        for d in range(10):
+            for dy in range(GLYPH_H):
+                mrow = (int(self._font_masks[d]) >> (dy * GLYPH_W)) & 31
+                for v in range(1 << GLYPH_W):
+                    P[v, d, dy] = bin(v ^ mrow).count("1")
+        self._row_dist_table = P
+
+    def _page_dists_all_shears(self, dark: np.ndarray) -> np.ndarray:
+        """(h, w) bool page → (n_shears, ph, pw, 10) uint8: the exact
+        dist tensor of ``_unshear(dark, s)`` for every candidate s, in
+        ``_SHEARS`` order, via the row decomposition above."""
+        h, w = dark.shape
+        ph, pw = h - GLYPH_H + 1, w - GLYPH_W + 1
+        pad = np.zeros((h, w + MAX_SHEAR), dtype=bool)
+        pad[:, :w] = dark
+        pwp = pad.shape[1] - GLYPH_W + 1
+        rb = np.zeros((h, pwp), dtype=np.uint8)
+        for dx in range(GLYPH_W):
+            rb |= pad[:, dx:dx + pwp].astype(np.uint8) << dx
+        RD = self._row_dist_table[rb]          # (h, pwp, 10, GLYPH_H)
+        out = np.empty((len(self._SHEARS), ph, pw, 10), dtype=np.uint8)
+        for k, s in enumerate(self._SHEARS):
+            base = abs(s) if s < 0 else 0
+            ov = np.array([base + round(s * y / (h - 1)) if h > 1 else 0
+                           for y in range(h)])
+            acc = np.zeros((ph, pw, 10), dtype=np.uint8)
+            for dy in range(GLYPH_H):
+                o_rows = ov[dy:dy + ph]
+                # contiguous bands of equal offset → one sliced add each
+                cuts = np.flatnonzero(np.diff(o_rows)) + 1
+                a = 0
+                for b in list(cuts) + [ph]:
+                    o = int(o_rows[a])
+                    acc[a:b] += RD[dy + a:dy + b, o:o + pw, :, dy]
+                    a = b
+            out[k] = acc
+        return out
 
     def _page_dist(self, dark: np.ndarray) -> np.ndarray:
+        dists = self._page_dists_all_shears(dark)
+        dmin = dists.min(axis=3).astype(np.int16)
+        best_s, best_q, best_k = 0, -1, -1
+        for k, s in enumerate(self._SHEARS):
+            dm = dmin[k]
+            m = dm <= self._CHAR_ACCEPT
+            q = int(((self._CHAR_ACCEPT + 1) - dm[m]).sum())
+            if q > best_q + (self._SHEAR_MARGIN if best_k >= 0 else 0):
+                best_s, best_q, best_k = s, q, k
+        self.last_shear = best_s          # introspection for tests
+        return dists[best_k]
+
+    def _page_dist_reference(self, dark: np.ndarray) -> np.ndarray:
+        """The direct per-shear formulation (unshear + full dist-tensor
+        pass per candidate) — kept as the oracle the fast path is pinned
+        against in test_table_image."""
         best_s, best_q, best_dist = 0, -1, None
-        for s in sorted(range(-MAX_SHEAR, MAX_SHEAR + 1), key=abs):
+        for s in self._SHEARS:
             un = _unshear(dark, s) if s else dark
             dist = self._dist_tensor(un[None])[0]
             dmin = dist.min(axis=2)
@@ -825,7 +895,7 @@ class DeskewingPageTextExtractor(PageTextExtractor):
             if q > best_q + (self._SHEAR_MARGIN if best_dist is not None
                              else 0):
                 best_s, best_q, best_dist = s, q, dist
-        self.last_shear = best_s          # introspection for tests
+        self.last_shear = best_s
         return best_dist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
