@@ -62,14 +62,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 110 of 169 registered queries.  The
-    driver's 50-row window is pinned byte-identical to the recorded
-    rounds (49 core-oracled + extract_pages, the flagship extraction
-    smoke); the 61 batch-parity oracles (tests/test_queries_r3*.py each
-    pin the identical columns/rows/multiset comparison at sf0.01) sit at
-    positions 51-111, so a driver-side cap can only truncate queries
-    that already carry the same check in pytest, and if the cap ever
-    grows they upgrade straight to recorded rows+schema+hash rows.
+    names as the Ray results) — 126 of 185 registered queries.  The
+    driver's 50-row window is ALL oracled in round 5: 49 core-oracled
+    queries plus extract_pages_parity, the flagship pipeline's
+    value-level oracle (planted pages through the real actor-pool
+    extraction, expected block strings recomputed from doc_id in SQL).
+    extract_pages (the rows-only flagship smoke over the synthetic
+    corpus) sits at position 51; the remaining batch-parity oracles
+    (tests/test_queries_r*.py each pin the identical columns/rows/
+    multiset comparison at sf0.01) follow, so a driver-side cap can
+    only truncate queries that already carry the same check in pytest,
+    and if the cap ever grows they upgrade straight to recorded
+    rows+schema+hash rows.
     The 59 remaining rows-only queries are approximate or inherently
     non-SQL by nature: minhash/simhash (seeded permutation hashes), FNV
     fingerprint, ann_lsh/ann_ivf/ann_pq (approximate by construction),

@@ -166,19 +166,22 @@ def test_ann_ivf_recall_vs_bruteforce(registry):
 
 def test_registry_orders_oracled_first(registry):
     """Cap-proofing: the driver records only the first 50 registered
-    queries.  The window is pinned byte-identical to the recorded rounds:
-    49 core-oracled queries then extract_pages (flagship, rows-only).
-    The 61 batch-parity oracles sit at positions 51-111 — every oracled
-    query still precedes every other rows-only one, so if the cap grows
-    the weakest checks are always the last to be recorded."""
+    queries.  Round-5 window layout: 49 core-oracled queries, then
+    extract_pages_parity (the flagship pipeline's value-level oracle)
+    at position 49 — every recorded row carries the strong
+    rows+schema+hash check.  extract_pages (flagship smoke, rows-only
+    by nature) sits at position 50, first past the window; the other
+    batch-parity oracles follow, so if the cap grows the weakest
+    checks are always the last to be recorded."""
     from text_extraction_ray.pipelines.queries import parity_oracle_names
 
     qs, oracles = registry
     names = list(qs)
-    assert all(n in oracles for n in names[:49])
+    assert all(n in oracles for n in names[:50])
     assert not any(n in parity_oracle_names() for n in names[:49])
-    assert names[49] == "extract_pages"
-    assert all(n in oracles for n in names[50:len(oracles) + 1])
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"
+    assert all(n in oracles for n in names[51:len(oracles) + 1])
     tail = names[len(oracles) + 1:]
     assert not any(n in oracles for n in tail)
 

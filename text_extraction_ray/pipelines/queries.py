@@ -818,19 +818,24 @@ def queries() -> dict:
     base.update(queries_r5())
     sql = oracle_sql()
     parity = parity_oracle_names()
-    # Driver-window block (first 50), byte-identical to rounds 1-3's
-    # recorded layout: the 49 core-oracled queries in registration order,
-    # then extract_pages (the flagship extraction pipeline, whose rows-only
-    # driver row is its only external record).  The 61 batch-parity queries
-    # gained driver-facing SQL twins in round 3 (merged below) but sit just
-    # past the window so the recorded 50 rows never change shape; if the
-    # driver's cap ever grows, they upgrade from "no row" straight to the
-    # strong rows+schema+hash check, already pinned by each batch's own
-    # pytest parity harness at sf0.01.
+    # Driver-window block (first 50): the 49 core-oracled queries in
+    # registration order, then extract_pages_parity — the flagship
+    # pipeline's value-level oracle (round-5 layout change, VERDICT r4
+    # next-round #1: every recorded row now carries the strong
+    # rows+schema+hash check, window 50/50).  extract_pages (the
+    # rows-only flagship smoke over the synthetic corpus — its
+    # extracted bytes are pseudorandom, so no SQL twin can exist) sits
+    # at position 50, first past the window, still benched and pinned
+    # by the golden byte-identity suite.  The remaining batch-parity
+    # oracles follow, so if the driver's cap ever grows they upgrade
+    # from "no row" straight to the strong check, already pinned by
+    # each batch's own pytest parity harness at sf0.01.
     core = [k for k in base if k in sql and k not in parity]
     ordered = {k: base[k] for k in core}
+    ordered["extract_pages_parity"] = base["extract_pages_parity"]
     ordered["extract_pages"] = base["extract_pages"]
-    ordered.update((k, base[k]) for k in base if k in parity)
+    ordered.update((k, base[k]) for k in base
+                   if k in parity and k != "extract_pages_parity")
     # rows-only queries ranked: extraction-surface pipelines whose driver
     # row is the ONLY external record first (extract_pages is the flagship;
     # pdf_tables has no oracled twin and its grid semantics live in binary
