@@ -24,11 +24,11 @@ def test_mq_roundtrip_random_streams():
         enc = MQEncoder()
         cxe = _new_cx(32)
         for b, c in zip(bits, ctxs):
-            enc.encode(cxe[c], b)
+            enc.encode(cxe, c, b)
         blob = enc.flush()
         dec = MQDecoder(blob)
         cxd = _new_cx(32)
-        assert [dec.decode(cxd[c]) for c in ctxs] == bits
+        assert [dec.decode(cxd, c) for c in ctxs] == bits
 
 
 def test_mq_skewed_and_constant_streams():
@@ -40,10 +40,10 @@ def test_mq_skewed_and_constant_streams():
         enc = MQEncoder()
         cxe = _new_cx(1)
         for b in bits:
-            enc.encode(cxe[0], b)
+            enc.encode(cxe, 0, b)
         dec = MQDecoder(enc.flush())
         cxd = _new_cx(1)
-        assert [dec.decode(cxd[0]) for _ in bits] == bits
+        assert [dec.decode(cxd, 0) for _ in bits] == bits
 
 
 def test_generic_region_roundtrip_shapes():

@@ -119,6 +119,14 @@ def _cipher_blocks(states: np.ndarray, rks: np.ndarray) -> np.ndarray:
     return s
 
 
+# InvMixColumns constant multipliers as 256-byte LUTs (derived from
+# _gmul, so still generated): one gather per term instead of the 3-4
+# xtime passes _gmul costs per call — the inverse cipher runs once per
+# encrypted PDF stream and was the crypt-path hot spot.
+_GM9, _GM11, _GM13, _GM14 = (
+    _gmul(np.arange(256, dtype=np.uint8), k) for k in (9, 11, 13, 14))
+
+
 def _inv_cipher_blocks(states: np.ndarray, rks: np.ndarray) -> np.ndarray:
     """Inverse cipher over (n, 4, 4) states, all blocks at once."""
     nr = len(rks) - 1
@@ -129,8 +137,8 @@ def _inv_cipher_blocks(states: np.ndarray, rks: np.ndarray) -> np.ndarray:
         s = s ^ rks[rnd]
         if rnd > 0:
             s = np.stack(
-                [_gmul(s[:, r], 14) ^ _gmul(s[:, (r + 1) % 4], 11)
-                 ^ _gmul(s[:, (r + 2) % 4], 13) ^ _gmul(s[:, (r + 3) % 4], 9)
+                [_GM14[s[:, r]] ^ _GM11[s[:, (r + 1) % 4]]
+                 ^ _GM13[s[:, (r + 2) % 4]] ^ _GM9[s[:, (r + 3) % 4]]
                  for r in range(4)], axis=1)
     return s
 

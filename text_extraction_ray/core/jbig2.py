@@ -91,33 +91,34 @@ class MQDecoder:
             self.c += nxt << 8
             self.ct = 8
 
-    def decode(self, cx: list) -> int:
-        """cx = [index, mps] mutable context state → decision bit."""
-        qe, nmps, nlps, switch = _QE[cx[0]]
+    def decode(self, cx: "CXStates", k: int) -> int:
+        """cx = context-state store, k = context index → decision bit."""
+        ci, cmps = cx.i, cx.mps
+        qe, nmps, nlps, switch = _QE[ci[k]]
         self.a -= qe
         if ((self.c >> 16) & 0xFFFF) < qe:
             if self.a < qe:
                 self.a = qe
-                d = cx[1]
-                cx[0] = nmps
+                d = cmps[k]
+                ci[k] = nmps
             else:
                 self.a = qe
-                d = 1 - cx[1]
+                d = 1 - cmps[k]
                 if switch:
-                    cx[1] = 1 - cx[1]
-                cx[0] = nlps
+                    cmps[k] = 1 - cmps[k]
+                ci[k] = nlps
         else:
             self.c -= qe << 16
             if self.a & 0x8000:
-                return cx[1]
+                return cmps[k]
             if self.a < qe:
-                d = 1 - cx[1]
+                d = 1 - cmps[k]
                 if switch:
-                    cx[1] = 1 - cx[1]
-                cx[0] = nlps
+                    cmps[k] = 1 - cmps[k]
+                ci[k] = nlps
             else:
-                d = cx[1]
-                cx[0] = nmps
+                d = cmps[k]
+                ci[k] = nmps
         while True:       # RENORMD
             if self.ct == 0:
                 self._bytein()
@@ -172,16 +173,17 @@ class MQEncoder:
             if self.a & 0x8000:
                 break
 
-    def encode(self, cx: list, d: int) -> None:
-        qe, nmps, nlps, switch = _QE[cx[0]]
-        if d == cx[1]:                # CODEMPS
+    def encode(self, cx: "CXStates", k: int, d: int) -> None:
+        ci, cmps = cx.i, cx.mps
+        qe, nmps, nlps, switch = _QE[ci[k]]
+        if d == cmps[k]:              # CODEMPS
             self.a -= qe
             if (self.a & 0x8000) == 0:
                 if self.a < qe:
                     self.a = qe
                 else:
                     self.c += qe
-                cx[0] = nmps
+                ci[k] = nmps
                 self._renorm()
             else:
                 self.c += qe
@@ -192,8 +194,8 @@ class MQEncoder:
             else:
                 self.a = qe
             if switch:
-                cx[1] = 1 - cx[1]
-            cx[0] = nlps
+                cmps[k] = 1 - cmps[k]
+            ci[k] = nlps
             self._renorm()
 
     def flush(self) -> bytes:
@@ -212,8 +214,21 @@ class MQEncoder:
         return out
 
 
-def _new_cx(n: int = 1 << 16) -> list:
-    return [[0, 0] for _ in range(n)]
+class CXStates:
+    """Per-context (index, MPS) adaptive state for the full 16-bit
+    template-0 context space.  Two flat bytearrays, not 2^16 Python
+    lists — the list-of-lists allocation alone cost ~30 ms per region,
+    dominating small scanner regions."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self, n: int = 1 << 16) -> None:
+        self.i = bytearray(n)
+        self.mps = bytearray(n)
+
+
+def _new_cx(n: int = 1 << 16) -> CXStates:
+    return CXStates(n)
 
 
 def decode_generic_region(data: bytes, width: int, height: int,
@@ -234,7 +249,7 @@ def decode_generic_region(data: bytes, width: int, height: int,
 
     for y in range(height):
         if tpgdon:
-            ltp ^= dec.decode(cx[_TPGDON_CTX])
+            ltp ^= dec.decode(cx, _TPGDON_CTX)
             if ltp:
                 if y > 0:
                     bm[y] = bm[y - 1]
@@ -247,7 +262,7 @@ def decode_generic_region(data: bytes, width: int, height: int,
         r0 = 0
         row = bm[y]
         for x in range(width):
-            bit = dec.decode(cx[(r2 << 11) | (r1 << 4) | r0])
+            bit = dec.decode(cx, (r2 << 11) | (r1 << 4) | r0)
             row[x] = bit
             r2 = ((r2 << 1) | px(y - 2, x + 3)) & 0x1F
             r1 = ((r1 << 1) | px(y - 1, x + 4)) & 0x7F
@@ -276,7 +291,7 @@ def encode_generic_region(bm: np.ndarray) -> bytes:
         row = bm[y]
         for x in range(width):
             bit = int(row[x])
-            enc.encode(cx[(r2 << 11) | (r1 << 4) | r0], bit)
+            enc.encode(cx, (r2 << 11) | (r1 << 4) | r0, bit)
             r2 = ((r2 << 1) | px(y - 2, x + 3)) & 0x1F
             r1 = ((r1 << 1) | px(y - 1, x + 4)) & 0x7F
             r0 = ((r0 << 1) | bit) & 0x0F
