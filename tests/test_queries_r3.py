@@ -67,7 +67,10 @@ def test_r3_registered_rows_only(ray_session):
     for n in queries_r3():
         assert n in qs, n
         assert (n in osql) == (n in par), n
-    assert "extract_pages" in names[:50]
+    # round-5 window: the parity oracle holds position 49, the rows-only
+    # flagship smoke sits first past the window at 50
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"
     # pdf_tables leads the rows-only tail right after the 55 batch-parity
     # oracles; its grid semantics live in binary PDFs no SQL engine can
     # parse, so it stays benched + pytest-pinned

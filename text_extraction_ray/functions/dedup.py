@@ -134,8 +134,18 @@ def minhash_sig_batch(texts: list[str]) -> np.ndarray:
             s.encode("utf-8")
             for s in _shingle_strings((t or "").lower().split()))
     x = _fnv1a64_many(shingles) & np.uint64(0x7FFFFFFFFFFFFFFF)
-    # h_j(x) = (a_j * x + b_j) mod p  — (total_shingles, NUM_PERM)
-    vals = (x[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    # h_j(x) = (a_j * x + b_j) mod p  — (total_shingles, NUM_PERM).
+    # The product wraps mod 2^64 first (numpy uint64 semantics, pinned
+    # by the recorded oracles), then reduces mod the Mersenne prime.
+    # numpy's uint64 % is a scalar-division C loop (~96% of this
+    # function's wall time measured); p = 2^61-1 folds with two
+    # mask/shift/add passes instead: v ≡ (v & p) + (v >> 61) (mod p).
+    v = x[:, None] * _A[None, :] + _B[None, :]
+    p = np.uint64(_MERSENNE)
+    s61 = np.uint64(61)
+    v = (v & p) + (v >> s61)          # ≤ 2^61 + 6
+    v = (v & p) + (v >> s61)          # ≤ p
+    vals = np.where(v == p, np.uint64(0), v)
     return np.minimum.reduceat(vals, starts, axis=0)
 
 
