@@ -72,7 +72,7 @@ def test_r3f_registered_rows_only(ray_session):
     for n in queries_r3f():
         assert n in qs, n
         assert (n in osql) == (n in par), n
-    assert "extract_pages" in names[:50]
+    assert names[49:51] == ["extract_pages_parity", "extract_pages"]
     # pdf_tables heads the rows-only tail, right after the oracled
     # block (50-row driver window + 55 batch-parity oracles)
     assert names[len(osql) + 1] == "pdf_tables"

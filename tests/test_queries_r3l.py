@@ -33,7 +33,7 @@ def test_r3l_registered_rows_only(ray_session):
     qs, osql = queries(), oracle_sql()
     for n in queries_r3l():
         assert n in qs and n not in osql, n
-    assert "extract_pages" in list(qs)[:50]
+    assert list(qs)[49:51] == ["extract_pages_parity", "extract_pages"]
 
 
 def test_dhash_invariant_to_resize_and_brightness():

@@ -67,7 +67,7 @@ def test_r3n_registered_rows_only(ray_session):
     for n in queries_r3n():
         assert n in qs, n
         assert (n in osql) == (n in par), n
-    assert "extract_pages" in list(qs)[:50]
+    assert list(qs)[49:51] == ["extract_pages_parity", "extract_pages"]
 
 
 def test_checkpointed_job_over_csv_shards(ray_session, tmp_path):

@@ -72,7 +72,7 @@ def test_r3o_registered_rows_only(ray_session):
     qs, osql = queries(), oracle_sql()
     for n in queries_r3o():
         assert n in qs and n not in osql, n
-    assert "extract_pages" in list(qs)[:50]
+    assert list(qs)[49:51] == ["extract_pages_parity", "extract_pages"]
 
 
 def test_jsonl_malformed_lines_skip_and_count(ray_session, tmp_path):
