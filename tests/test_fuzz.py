@@ -168,3 +168,64 @@ def test_fuzz_cfb_office_total():
             assert KEYS <= set(r)
             assert isinstance(r["extracted_text"], str)
             np.testing.assert_equal(isinstance(r["parse_ok"], bool), True)
+
+
+def test_fuzz_jbig2_embedded_total():
+    """Truncations and bit-flips of a real embedded-JBIG2 stream either
+    decode to a bitmap or raise ValueError — never any other exception,
+    never a hang (the dimension guard bounds work)."""
+    import numpy as np
+
+    from text_extraction_ray.core.jbig2 import (decode_jbig2_embedded,
+                                                encode_jbig2_embedded)
+
+    rng = random.Random(99)
+    bm = (np.arange(24 * 16).reshape(24, 16) % 7 < 2).astype(np.uint8)
+    blob = encode_jbig2_embedded(bm)
+    got = decode_jbig2_embedded(blob)
+    assert np.array_equal(got[0] if isinstance(got, tuple) else got, bm)
+    for _ in range(120):
+        data = bytearray(blob)
+        mode = rng.randrange(3)
+        if mode == 0:
+            data = data[:rng.randrange(1, len(data))]
+        elif mode == 1:
+            for _k in range(rng.randrange(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        else:
+            data = bytearray(rng.randbytes(rng.randrange(0, 256)))
+        try:
+            out = decode_jbig2_embedded(bytes(data))
+        except ValueError:
+            continue
+        arr = out[0] if isinstance(out, tuple) else out
+        assert arr.dtype == np.uint8
+
+
+def test_fuzz_warc_content_codings_total():
+    """Arbitrary bytes under every Content-Encoding header parse without
+    raising: either decoded, prefix-salvaged, or flagged — and flagged
+    bodies are returned losslessly."""
+    from text_extraction_ray.sources.warc import (_CRLF, _warc_record,
+                                                  parse_warc)
+
+    rng = random.Random(7)
+    TSF = __import__("datetime").datetime(2025, 1, 2, 3, 4, 5)
+    for enc in (b"gzip", b"deflate", b"br", b"zstd",
+                b"compress", b"weirdddd"):
+        for _ in range(25):
+            body = rng.randbytes(rng.randrange(0, 512))
+            rec = _warc_record("https://f.example/x", TSF, body,
+                               http_encoding="compress")
+            # pad with spaces (stripped by the header parser) so the
+            # WARC Content-Length stays valid and the token is exact
+            pad = b" " * (8 - len(enc))
+            rec = rec.replace(b"Content-Encoding: compress" + _CRLF,
+                              b"Content-Encoding: " + enc + pad + _CRLF)
+            got = list(parse_warc(rec))
+            assert len(got) == 1
+            u, _ts, b, e = got[0]
+            assert u == "https://f.example/x"
+            assert isinstance(b, bytes) and isinstance(e, str)
+            if e:  # flagged: bytes kept losslessly
+                assert b == body

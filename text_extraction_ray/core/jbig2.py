@@ -342,6 +342,17 @@ def _parse_segments(data: bytes):
         pos += length
 
 
+def _segments_total(blob: bytes):
+    """_parse_segments with the totality contract: any malformed header
+    (truncated struct field, offset past EOF) raises ValueError, never
+    struct.error/IndexError — callers error-route ValueError only."""
+    try:
+        yield from _parse_segments(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"jbig2: malformed segment header ({exc})") \
+            from exc
+
+
 def decode_jbig2_embedded(data: bytes,
                           globals_data: bytes = b"") -> np.ndarray:
     """PDF-embedded JBIG2 stream → page bitmap (1 = black).
@@ -354,7 +365,7 @@ def decode_jbig2_embedded(data: bytes,
     for blob in (globals_data, data):
         if not blob:
             continue
-        for stype, _page, payload in _parse_segments(blob):
+        for stype, _page, payload in _segments_total(blob):
             if stype == _PAGE_INFO:
                 if len(payload) < 8:
                     raise ValueError("jbig2: short page-info segment")
