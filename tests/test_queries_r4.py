@@ -57,5 +57,7 @@ def test_registry_carries_r4_parity_queries(ray_session):
     for name in ("pdf_filter_parity", "pdf_encrypt_parity"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
-    # the pinned window is unchanged: extract_pages still closes it
-    assert names[49] == "extract_pages"
+    # round-5 window layout: extract_pages_parity closes the 50-row
+    # window (50/50 oracled), extract_pages sits first past it
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"
