@@ -55,7 +55,8 @@ def test_registry_carries_r4b_queries(ray_session):
     for name in ("docs_c4_filter", "pages_head_meta"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
-    assert names[49] == "extract_pages"
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"
 
 
 @pytest.mark.parametrize("sf_dir", SCALES)

@@ -148,4 +148,5 @@ def test_registry_carries_r4c_queries(ray_session):
                  "odt_paragraphs", "docx_footnotes", "rtf_paragraphs"):
         assert name in qs and name in osql
         assert names.index(name) >= 50
-    assert names[49] == "extract_pages"
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"
