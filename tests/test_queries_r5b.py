@@ -1,0 +1,65 @@
+"""Round-5 batch B: EPUB (M44) + MHTML (M45) value-level oracles."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SCALES = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def _want(sf_dir: str, sql: str, order: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet'")
+    return con.execute(sql + " ORDER BY " + order).fetchdf()
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_epub_chapters_duckdb_parity(ray_session, sf_dir):
+    """Every chapter block recovered through the real OCF/OPF walk
+    (mimetype sniff, container.xml rootfile, manifest+spine resolution,
+    XHTML through the flagship DOM segmenter) == the doc_id-derived
+    expected strings in SQL — entity '&', non-ASCII 'café', stored vs
+    deflated containers all inside the hash."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        SQL_EPUB_CHAPTERS, q_epub_chapters)
+
+    got = (q_epub_chapters(sf_dir).to_pandas()
+           .sort_values(["doc_id", "chap_idx", "blk_idx"])
+           .reset_index(drop=True))
+    want = _want(sf_dir, SQL_EPUB_CHAPTERS, "doc_id, chap_idx, blk_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # non-vacuous: multi-chapter books + entity + accent survived
+    assert (got["chap_idx"] == 1).sum() > 0
+    assert got["text"].str.contains("&").sum() > 0
+    assert got["text"].str.contains("café").sum() > 0
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_mhtml_pages_duckdb_parity(ray_session, sf_dir):
+    """One planted spec, two physical plans: the extract_pages_parity
+    page transported as an MHTML archive (QP / base64 / 7bit CTEs,
+    declared vs sniffed charset) through the REAL extract_pages actor
+    pool matches the SAME SQL template — the MIME envelope must be
+    extraction-invisible."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        _sql_mhtml_pages, q_mhtml_pages)
+
+    got = (q_mhtml_pages(sf_dir).to_pandas()
+           .sort_values(["doc_id", "block_idx"]).reset_index(drop=True))
+    want = _want(sf_dir, _sql_mhtml_pages(), "doc_id, block_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_dropped"] == 3).all()
+
+
+def test_registry_carries_r5b_queries(ray_session):
+    """Registered past the pinned 50-row driver window, with SQL."""
+    import __ray_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = list(qs)
+    for name in ("epub_chapters", "mhtml_pages"):
+        assert name in qs and name in osql
+        assert names.index(name) >= 50
+    assert names[49] == "extract_pages_parity"
+    assert names[50] == "extract_pages"

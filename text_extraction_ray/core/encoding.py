@@ -52,6 +52,11 @@ _MARKUP_HINT_RE = re.compile(
 
 
 _FEED_ROOT_RE = re.compile(rb"<\s*(rss|feed)[\s>]", re.IGNORECASE)
+# MHTML (M45): an RFC 5322 field line at byte 0 + multipart/related in
+# the head.  HTML starts with '<'/whitespace so it can never match the
+# first test; a page merely MENTIONING multipart/related never routes.
+MIME_FIELD_RE = re.compile(rb"^[!-9;-~]+:")
+MIME_HINT_RE = re.compile(rb"multipart/related", re.IGNORECASE)
 _XML_ENCODING_RE = re.compile(
     rb"<\?xml[^>]*encoding\s*=\s*[\"']([A-Za-z0-9._\-]+)[\"']",
     re.IGNORECASE)
@@ -89,7 +94,8 @@ def _skip_xml_misc(buf: bytes) -> bytes:
 
 def sniff_doc_type(payload: bytes) -> str:
     """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
-    odt | rtf | doc | xls | ppt | feed | empty | unknown (M1).
+    odt | rtf | doc | xls | ppt | epub | mhtml | feed | empty |
+    unknown (M1).
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
     must START with the feed root element (after BOM/whitespace), or —
@@ -113,6 +119,10 @@ def sniff_doc_type(payload: bytes) -> str:
             return "pptx"
         if b"application/vnd.oasis.opendocument.text" in payload:
             return "odt"
+        if b"application/epub+zip" in payload:
+            # OCF package (M44): the mimetype member is stored-first per
+            # OCF §3.3, so the string appears verbatim in the bytes
+            return "epub"
         return "unknown"
     if payload.startswith(b"{\\rtf"):
         return "rtf"
@@ -129,6 +139,9 @@ def sniff_doc_type(payload: bytes) -> str:
             return "ppt"
         return "unknown"
     head = payload[:2048]
+    if ((MIME_FIELD_RE.match(head) or head.startswith(b"From "))
+            and MIME_HINT_RE.search(head)):
+        return "mhtml"
     stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
     if stripped[:1] == b"<":
         if _FEED_ROOT_RE.match(stripped):

@@ -64,8 +64,13 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
+        if doc_type == "mhtml":
+            from .mhtml import extract_mhtml
+
+            r = extract_mhtml(payload, crawl_lang)
+            return {"doc_type": "mhtml", **r}
         if doc_type in ("docx", "xlsx", "pptx", "odt", "rtf",
-                        "doc", "xls", "ppt"):
+                        "doc", "xls", "ppt", "epub"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
@@ -90,6 +95,9 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
             elif doc_type == "ppt":
                 from .ppt_legacy import extract_ppt
                 r = extract_ppt(payload, JOINER)
+            elif doc_type == "epub":
+                from .epub import extract_epub
+                r = extract_epub(payload, JOINER)
             else:
                 from .rtf import extract_rtf
                 r = extract_rtf(payload, JOINER)

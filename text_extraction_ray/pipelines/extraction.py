@@ -116,21 +116,21 @@ def extract_pages(
         raise ValueError(f"unknown mode {mode!r}")
 
     sniffed = ds.map_batches(sniff_batch, **_PYARROW_KW)
-    # feeds share the html branch: same decode → text-assembly shape,
-    # same small-payload profile (M28)
+    # feeds + MIME web archives share the html branch: same decode →
+    # text-assembly shape, same small-payload profile (M28, M45)
     html = sniffed.filter(
-        expr=f"(doc_type == 'html' or doc_type == 'feed') "
-             f"and n_bytes < {GIANT_BYTES}")
+        expr=f"(doc_type == 'html' or doc_type == 'feed' "
+             f"or doc_type == 'mhtml') and n_bytes < {GIANT_BYTES}")
     giant = sniffed.filter(
-        expr=f"(doc_type == 'html' or doc_type == 'feed') "
-             f"and n_bytes >= {GIANT_BYTES}")
+        expr=f"(doc_type == 'html' or doc_type == 'feed' "
+             f"or doc_type == 'mhtml') and n_bytes >= {GIANT_BYTES}")
     # office containers share the pdf branch: same binary-container
-    # profile, same per-document parse cost shape (M31-M35)
+    # profile, same per-document parse cost shape (M31-M39, M44)
     pdf = sniffed.filter(expr="doc_type == 'pdf' or doc_type == 'docx' "
                               "or doc_type == 'xlsx' or doc_type == 'pptx' "
                               "or doc_type == 'odt' or doc_type == 'rtf' "
                               "or doc_type == 'doc' or doc_type == 'xls' "
-                              "or doc_type == 'ppt'")
+                              "or doc_type == 'ppt' or doc_type == 'epub'")
     other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
 
     drop = ["doc_type", "n_bytes"]

@@ -805,6 +805,7 @@ def queries() -> dict:
     from .queries_r4b import queries_r4b
     from .queries_r4c import queries_r4c
     from .queries_r5 import queries_r5
+    from .queries_r5b import queries_r5b
 
     base.update(queries_r3af())
     base.update(queries_r3ag())
@@ -816,6 +817,7 @@ def queries() -> dict:
     base.update(queries_r4b())
     base.update(queries_r4c())
     base.update(queries_r5())
+    base.update(queries_r5b())
     sql = oracle_sql()
     parity = parity_oracle_names()
     # Driver-window block (first 50): the 49 core-oracled queries in
@@ -926,6 +928,7 @@ def _parity_sql_merged() -> dict[str, str]:
     from .queries_r4b import parity_sql_r4b
     from .queries_r4c import parity_sql_r4c
     from .queries_r5 import parity_sql_r5
+    from .queries_r5b import parity_sql_r5b
 
     merged: dict[str, str] = {}
     for fn in (parity_sql_r3, parity_sql_r3b, parity_sql_r3c,
@@ -934,7 +937,8 @@ def _parity_sql_merged() -> dict[str, str]:
                parity_sql_r3j, parity_sql_r3k, parity_sql_r3m,
                parity_sql_r3n, parity_sql_r3p, parity_sql_r3ah,
                parity_sql_r3aj, parity_sql_r3ak, parity_sql_r4,
-               parity_sql_r4b, parity_sql_r4c, parity_sql_r5):
+               parity_sql_r4b, parity_sql_r4c, parity_sql_r5,
+               parity_sql_r5b):
         part = fn()
         dup = set(part) & set(merged)
         if dup:

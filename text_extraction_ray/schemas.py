@@ -29,7 +29,8 @@ OUT = pa.schema(
         ("lang", pa.string()),
         ("doc_type", pa.string()),       # html | pdf | feed | docx | xlsx
                                          # | pptx | odt | rtf | doc | xls
-                                         # | ppt | empty | unknown
+                                         # | ppt | epub | mhtml | empty
+                                         # | unknown
         ("extracted_text", pa.string()),  # THE byte-identical payload
         ("spans", pa.list_(SPAN)),
         ("n_blocks_kept", pa.int32()),

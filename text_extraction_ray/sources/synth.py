@@ -562,6 +562,37 @@ def _ppt_payload(rng: random.Random, lang: str) -> bytes:
     return build_ppt(slides, chars_atoms=rng.random() < 0.5)
 
 
+def _epub_payload(rng: random.Random, lang: str) -> bytes:
+    """An EPUB e-book (corpus v=21, M44): 1-3 spine chapters of titled
+    paragraphs, stored vs deflated ZIP members — the OCF/OPF walk on
+    the flagship route."""
+    from ..core.epub import build_epub
+
+    chapters = []
+    for _ in range(rng.randint(1, 3)):
+        title = " ".join(_words(rng, lang, rng.randint(2, 4)))
+        paras = [_sentence(rng, lang) for _ in range(rng.randint(1, 4))]
+        chapters.append((title, paras))
+    return build_epub(chapters, deflate=rng.random() < 0.8)
+
+
+def _mhtml_payload(rng: random.Random, lang: str) -> bytes:
+    """An MHTML web archive (corpus v=21, M45): a normal synthetic page
+    wrapped in a multipart/related envelope, cycling QP/base64/7bit
+    CTEs, declared vs sniffed charset, start= root selection and a
+    binary resource part the text route must skip."""
+    from ..core.mhtml import build_mhtml
+
+    html = _page_html(rng, lang).encode("utf-8")
+    cte = ("quoted-printable", "base64", "7bit")[rng.randrange(3)]
+    extra = ([("image/png",
+               bytes(rng.randrange(256) for _ in range(rng.randint(8, 64))))]
+             if rng.random() < 0.4 else None)
+    return build_mhtml(html, cte=cte,
+                       charset="utf-8" if rng.random() < 0.5 else "",
+                       start=rng.random() < 0.3, extra_parts=extra)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -574,7 +605,7 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.66 or 0.687 <= roll < 0.70:
+    if roll < 0.66 or 0.693 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
         # corpus v=15-19: the [0.66, 0.68) office band splits five
@@ -597,6 +628,11 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         html = _xls_payload(rng, gen_lang)
     elif roll < 0.687:
         html = _ppt_payload(rng, gen_lang)
+    elif roll < 0.690:
+        # corpus v=21: the [0.687, 0.693) crawl-container band (M44-M45)
+        html = _epub_payload(rng, gen_lang)
+    elif roll < 0.693:
+        html = _mhtml_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -640,7 +676,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=20"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=21"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
