@@ -424,3 +424,82 @@ def test_differences_overlay_named_base_encoding():
     r = extract_pdf(blob)
     assert "☃" in r["extracted_text"]          # the overlay applied
     assert "“" in r["extracted_text"]               # base table retained
+
+
+def test_apostrophe_and_quote_show_operators():
+    """The ' and \" show operators (PDF 32000-1 Table 107) — emitted by
+    real-world generators instead of T*/Tj — show their string on the
+    next line; \" carries aw/ac spacing operands below the string.
+    Previously both fell to the generic operand-consume branch and the
+    text was silently lost."""
+    from text_extraction_ray.core.pdf import _interpret
+
+    stream = (b"BT 14 TL 72 720 Td (first line) Tj "
+              b"(apostrophe line) ' "
+              b'1.5 0.2 (quote line) " ET')
+    runs, _ = _interpret(stream)
+    assert [r.text for r in runs] == [
+        "first line", "apostrophe line", "quote line"]
+    # each shown one leading below the previous (T* semantics)
+    ys = [r.y for r in runs]
+    assert ys[0] - ys[1] == 14.0 and ys[1] - ys[2] == 14.0
+    # outside BT/ET nothing shows (the in_text guard)
+    runs2, _ = _interpret(b"14 TL (loose) ' (loose2) \"")
+    assert [r.text for r in runs2] == []
+
+
+def test_form_xobject_pages_extract_identically():
+    """M10k: page content inside a /Subtype /Form XObject invoked via
+    Do (the real-world generator shape) extracts byte-identically to
+    the direct-content twin — across filter chains and encryption
+    (forms decrypt + defilter like any stream)."""
+    def mk(as_form, **kw):
+        pb = PageBuilder()
+        pb.text_lines(["form text line one", "second line"])
+        pb.table([["a 1", "b 2"], ["c 3", "d 4"]])
+        pb2 = PageBuilder()
+        pb2.text_lines(["page two content"])
+        return build_pdf([pb, pb2], as_form=as_form, **kw)
+
+    plain = extract_pdf(mk(False))
+    assert plain["parse_ok"] and plain["extracted_text"]
+    for kw in ({}, {"compress": True}, {"compress": "lzw"},
+               {"compress": "a85+flate"}, {"encrypt": "rc4-128"},
+               {"encrypt": "aes-128"}, {"compress": True,
+                                        "encrypt": "rc4-40"}):
+        form = extract_pdf(mk(True, **kw))
+        assert form["extracted_text"] == plain["extracted_text"], kw
+        assert form["spans"] == plain["spans"], kw
+
+
+def test_form_xobject_cycle_guard():
+    """A form referencing itself must expand boundedly (depth/cycle
+    guard), never hang or recurse, and still yield its text once."""
+    evil = (b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Fm0 5 0 R >> >> >> endobj\n"
+            b"4 0 obj << /Length 11 >> stream\nq /Fm0 Do Q\nendstream"
+            b" endobj\n"
+            b"5 0 obj << /Type /XObject /Subtype /Form "
+            b"/Resources << /XObject << /Fm0 5 0 R >> >> /Length 34 >> "
+            b"stream\nBT 72 720 Td (loop) Tj ET /Fm0 Do\nendstream"
+            b" endobj\n"
+            b"trailer << /Root 1 0 R >>")
+    r = extract_pdf(evil)
+    assert r["parse_ok"] and r["extracted_text"] == "loop"
+
+
+def test_image_xobjects_keep_their_do():
+    """Do naming an IMAGE XObject is untouched by the form expansion
+    (the raster layer reads those directly) — a scanned PDF still
+    extracts via OCR after the M10k change."""
+    from text_extraction_ray.core.pdf import pdf_images
+    from text_extraction_ray.core.pdf_write import build_image_pdf
+
+    img = (8, 8, bytes(range(0, 256, 4)))
+    pdf = build_image_pdf([img])
+    assert pdf_images(pdf)  # image still found, nothing spliced
+    out = extract_pdf(pdf)
+    assert out["parse_ok"] is not None  # total, no raise

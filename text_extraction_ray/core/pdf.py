@@ -394,6 +394,86 @@ def _expand_object_streams(
                 objects[sub_num] = (body, None)
 
 
+_XOBJ_REF_RE = re.compile(rb"/([A-Za-z0-9#._\-]+)\s+(\d+)\s+\d+\s+R")
+_DO_RE = re.compile(rb"/([A-Za-z0-9#._\-]+)\s+Do(?![0-9A-Za-z])")
+
+
+def _balanced_dict(buf: bytes, start: int) -> bytes:
+    """``buf[start:]`` beginning at ``<<`` → the balanced dict slice."""
+    depth = 0
+    i, n = start, len(buf)
+    while i < n - 1:
+        two = buf[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i]
+        else:
+            i += 1
+    return buf[start:]
+
+
+def _xobject_map(hdr: bytes,
+                 objects: dict[int, tuple[bytes, bytes | None]]
+                 ) -> dict[str, int]:
+    """Page/form header → {XObject resource name: object number},
+    following one level of indirection for /Resources and /XObject."""
+    k = hdr.find(b"/Resources")
+    if k >= 0:
+        m = re.match(rb"\s*(\d+)\s+\d+\s+R", hdr[k + 10:])
+        if m and int(m.group(1)) in objects:
+            hdr = objects[int(m.group(1))][0]
+    x = hdr.find(b"/XObject")
+    if x < 0:
+        return {}
+    m = re.match(rb"\s*(\d+)\s+\d+\s+R", hdr[x + 8:])
+    if m and int(m.group(1)) in objects:
+        body = objects[int(m.group(1))][0]
+    else:
+        j = hdr.find(b"<<", x)
+        if j < 0:
+            return {}
+        body = _balanced_dict(hdr, j)
+    return {mm.group(1).decode("latin-1"): int(mm.group(2))
+            for mm in _XOBJ_REF_RE.finditer(body)}
+
+
+def _expand_forms(hdr: bytes, stream: bytes,
+                  objects: dict[int, tuple[bytes, bytes | None]],
+                  depth: int = 0,
+                  seen: frozenset[int] = frozenset()) -> bytes:
+    """Splice /Subtype /Form XObject streams in place of their ``Do``
+    invocations (PDF 32000-1 §8.10) — generators routinely put page text
+    in forms (letterheads, stamps, whole-page forms), which the
+    interpreter would otherwise silently drop.  The form's BT/Td
+    coordinates interpret in the page's space (the CTM at Do time is
+    ignored, consistent with the interpreter's untransformed text
+    model).  Depth- and cycle-guarded; image XObjects keep their ``Do``
+    (the raster layer reads them directly via ``pdf_images``)."""
+    if depth >= 3 or b"Do" not in stream:
+        return stream
+    xmap = _xobject_map(hdr, objects)
+    if not xmap:
+        return stream
+
+    def repl(m: re.Match) -> bytes:
+        num = xmap.get(m.group(1).decode("latin-1"))
+        if num is None or num in seen or num not in objects:
+            return m.group(0)
+        f_hdr, f_data = objects[num]
+        if b"/Form" not in f_hdr or not f_data:
+            return m.group(0)
+        inner = _expand_forms(f_hdr, f_data, objects, depth + 1,
+                              seen | {num})
+        return b" q " + inner + b" Q "
+
+    return _DO_RE.sub(repl, stream)
+
+
 def _page_content_streams(payload: bytes,
                           objects: dict[int, tuple[bytes, bytes | None]]
                           ) -> list[bytes]:
@@ -419,10 +499,13 @@ def _page_content_streams(payload: bytes,
     for pn in page_nums:
         if pn not in objects:
             continue
-        cm = _CONTENTS_RE.search(objects[pn][0])
+        page_hdr = objects[pn][0]
+        cm = _CONTENTS_RE.search(page_hdr)
         if cm and int(cm.group(1)) in objects:
             data = objects[int(cm.group(1))][1]
             if data:
+                if b"Do" in data:
+                    data = _expand_forms(page_hdr, data, objects)
                 streams.append(data)
     if not streams:  # last resort: every stream that contains BT
         for _, (hdr, data) in sorted(objects.items()):
@@ -562,6 +645,21 @@ def _interpret(stream: bytes,
                         if shown:
                             runs.append(_Run(cx, cy, shown))
                         cx += 5.5 * sum(g for _, g in decoded)
+                stack.clear()
+            elif op == "'" or op == '"':
+                # the apostrophe/quote show operators (PDF 32000-1
+                # Table 107): T* (next line per leading) then show; "
+                # additionally carries aw/ac spacing operands BELOW the
+                # string — geometry-only here, so only the string shows
+                ty -= leading
+                cx, cy = tx, ty
+                if in_text and stack and stack[-1][0] == "str":
+                    s = stack[-1][1]
+                    if s:
+                        shown, glyphs = _show_through(s, cur_map)
+                        if shown:
+                            runs.append(_Run(cx, cy, shown))
+                        cx += 5.5 * glyphs
                 stack.clear()
             elif op == "re":
                 if len(stack) >= 4 and all(s[0] == "num" for s in stack[-4:]):

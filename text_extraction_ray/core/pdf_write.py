@@ -246,7 +246,8 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
               code_map: dict[str, int] | None = None,
               encoding_style: str = "tounicode",
               base_encoding: str | None = None,
-              encrypt: str | bool = False) -> bytes:
+              encrypt: str | bool = False,
+              as_form: bool = False) -> bytes:
     """Assemble a complete PDF with xref table and trailer.
 
     ``compress``: False = plain streams; True = /FlateDecode; or a
@@ -264,14 +265,51 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
     """
     objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
     n_pages = len(pages)
-    font_num = 3 + 2 * n_pages
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    per_page = 3 if as_form else 2
+    font_num = 3 + per_page * n_pages
+    kids = " ".join(f"{3 + per_page * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )  # 2
+
+    def stream_obj(data: bytes, extra: bytes = b"") -> bytes:
+        if compress:
+            from .pdf_filters import encode_stream
+
+            spec = "flate" if compress is True else compress
+            data, entry = encode_stream(data, spec)
+            head = (f"<< /Length {len(data)}".encode() + extra + entry
+                    + b" >>")
+        else:
+            head = f"<< /Length {len(data)}".encode() + extra + b" >>"
+        return head + b"\nstream\n" + data + b"\nendstream"
+
     for i, page in enumerate(pages):
-        content_num = 4 + 2 * i
+        content_num = 4 + per_page * i
+        if as_form:
+            # M10k: the page's entire content lives in a /Subtype /Form
+            # XObject invoked via Do — the real-world generator shape
+            # (letterheads, stamps, whole-page forms) whose text the
+            # reader splices in place (core/pdf.py _expand_forms)
+            form_num = 5 + per_page * i
+            objects.append(
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+                    f"/Contents {content_num} 0 R "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> "
+                    f"/XObject << /Fm0 {form_num} 0 R >> >> >>"
+                ).encode()
+            )
+            objects.append(stream_obj(b"q /Fm0 Do Q"))
+            objects.append(stream_obj(
+                page.content(),
+                (f" /Type /XObject /Subtype /Form "
+                 f"/BBox [0 0 {PAGE_W} {PAGE_H}] "
+                 f"/Resources << /Font << /F1 {font_num} 0 R >> >>"
+                 ).encode()))
+            continue
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
@@ -279,16 +317,7 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
                 f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
             ).encode()
         )
-        data = page.content()
-        if compress:
-            from .pdf_filters import encode_stream
-
-            spec = "flate" if compress is True else compress
-            data, entry = encode_stream(data, spec)
-            head = (f"<< /Length {len(data)}".encode() + entry + b" >>")
-        else:
-            head = f"<< /Length {len(data)} >>".encode()
-        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+        objects.append(stream_obj(page.content()))
     if code_map is None and base_encoding is not None:
         # named base encoding, no ToUnicode/Differences — pair with
         # PageBuilder.text_lines_codec (VERDICT r4 Missing #5)

@@ -327,6 +327,11 @@ def _pdf_payload(rng: random.Random) -> bytes:
                 base_lines,
                 "cp1252" if base_enc == "WinAnsiEncoding" else "mac_roman")
         pages.append(pb)
+    # corpus v=22: ~20% of text PDFs put their page content inside a
+    # /Subtype /Form XObject invoked via Do (core/pdf.py M10k — the
+    # real-world generator shape); extraction is byte-identical to the
+    # direct-content twin by construction
+    as_form = rng.random() < 0.2
     if unicode_lines is not None:
         from ..core.pdf_write import make_code_map
 
@@ -334,7 +339,7 @@ def _pdf_payload(rng: random.Random) -> bytes:
             pages, compress=_stream_spec(rng),
             code_map=make_code_map(unicode_lines),
             encoding_style=rng.choice(["tounicode", "differences"]),
-            encrypt=_encrypt_spec(rng))
+            encrypt=_encrypt_spec(rng), as_form=as_form)
     if cid_lines is not None:
         from ..core.pdf_write import make_cid_map
 
@@ -342,13 +347,13 @@ def _pdf_payload(rng: random.Random) -> bytes:
             pages, compress=_stream_spec(rng),
             code_map=make_cid_map(cid_lines),
             encoding_style="cid",
-            encrypt=_encrypt_spec(rng))
+            encrypt=_encrypt_spec(rng), as_form=as_form)
     if base_lines is not None:
         return build_pdf(pages, compress=_stream_spec(rng),
                          base_encoding=base_enc,
-                         encrypt=_encrypt_spec(rng))
+                         encrypt=_encrypt_spec(rng), as_form=as_form)
     return build_pdf(pages, compress=_stream_spec(rng),
-                     encrypt=_encrypt_spec(rng))
+                     encrypt=_encrypt_spec(rng), as_form=as_form)
 
 
 def _giant_html(rng: random.Random, lang: str, cap_bytes: int) -> bytes:
@@ -676,7 +681,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=21"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=22"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
