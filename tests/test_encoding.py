@@ -110,3 +110,40 @@ def test_xml_prolog_feed_with_comments_and_doctype_routes_feed():
     # truncated-inside-comment head: conservative (not feed, not crash)
     assert sniff_doc_type(b'<?xml version="1.0"?><!-- ' + b"x" * 4096) \
         != "feed"
+
+
+def test_gzip_transport_inflates_and_reroutes():
+    """M46: gzip-wrapped payloads inflate (bounded, salvaging) and the
+    inner document extracts with its OWN doc_type; garbage after the
+    magic and deep nesting route to error rows."""
+    import zlib
+
+    from text_extraction_ray.core.encoding import sniff_doc_type
+    from text_extraction_ray.core.extract import extract_document
+
+    page = (b"<html><body><p>hello gzip world "
+            + b"the and of to in that it is was for on are as with his "
+              b"they at be this have from or had by but not what all " * 5
+            + b"</p></body></html>")
+
+    def gz(data: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    wrapped = gz(page)
+    assert sniff_doc_type(wrapped) == "gzip"
+    r = extract_document(wrapped)
+    inner = extract_document(page)
+    assert r["doc_type"] == "html" and r == inner
+    # truncation salvage: torn trailer still yields the decoded prefix
+    r2 = extract_document(wrapped[:-4])
+    assert r2["doc_type"] == "html" and r2["extracted_text"]
+    # garbage after the magic → error row, never a raise
+    r3 = extract_document(b"\x1f\x8b\x08\x00junkjunkjunk")
+    assert not r3["parse_ok"] and "gzip" in r3["error"]
+    # nesting cap: triple-gzip stops at depth 2 with a precise error
+    r4 = extract_document(gz(gz(gz(page))))
+    assert not r4["parse_ok"] and "nesting too deep" in r4["error"]
+    # double-gzip still resolves (depth 1 < cap)
+    r5 = extract_document(gz(gz(page)))
+    assert r5["doc_type"] == "html" and r5 == inner

@@ -63,3 +63,19 @@ def test_registry_carries_r5b_queries(ray_session):
         assert names.index(name) >= 50
     assert names[49] == "extract_pages_parity"
     assert names[50] == "extract_pages"
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_gzip_pages_duckdb_parity(ray_session, sf_dir):
+    """Third transport of the planted spec: gzip-wrapped parity pages
+    (odd ids with a torn trailer exercising the salvage path) through
+    the real actor pool match the SAME SQL template — the gzip
+    transport must be extraction-invisible and OUT rows carry the
+    INNER doc_type."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        _sql_mhtml_pages, q_gzip_pages)
+
+    got = (q_gzip_pages(sf_dir).to_pandas()
+           .sort_values(["doc_id", "block_idx"]).reset_index(drop=True))
+    want = _want(sf_dir, _sql_mhtml_pages(), "doc_id, block_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

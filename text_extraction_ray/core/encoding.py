@@ -94,8 +94,9 @@ def _skip_xml_misc(buf: bytes) -> bytes:
 
 def sniff_doc_type(payload: bytes) -> str:
     """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
-    odt | rtf | doc | xls | ppt | epub | mhtml | feed | empty |
-    unknown (M1).
+    odt | rtf | doc | xls | ppt | epub | mhtml | feed | gzip | empty |
+    unknown (M1).  ``gzip`` is a TRANSPORT, not a document type: the
+    extractor inflates and re-sniffs, so OUT rows never carry it.
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
     must START with the feed root element (after BOM/whitespace), or —
@@ -107,6 +108,11 @@ def sniff_doc_type(payload: bytes) -> str:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
+    if payload.startswith(b"\x1f\x8b"):
+        # gzip-wrapped payload (M46): .gz assets and mislabeled
+        # content-encoding leftovers; the extractor inflates (bounded,
+        # prefix-salvaging) and re-sniffs the inner bytes
+        return "gzip"
     if payload.startswith(b"PK\x03\x04"):
         # ZIP container (M31/M32): member names occur verbatim in the
         # central directory, so the container routes by its main part;

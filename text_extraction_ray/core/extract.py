@@ -28,7 +28,25 @@ def empty_result(doc_type: str, lang: str, error: str = "") -> dict:
     }
 
 
-def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
+_GUNZIP_CAP = 64 << 20      # zip-bomb bound (the WARC body discipline)
+
+
+def _gunzip_salvage(payload: bytes) -> bytes | None:
+    """Bounded gzip inflate with truncation salvage: a torn download
+    still yields its decoded prefix (crawl reality); None when nothing
+    decodes at all."""
+    import zlib
+
+    d = zlib.decompressobj(31)
+    try:
+        out = d.decompress(payload, _GUNZIP_CAP)
+    except zlib.error:
+        return None
+    return out if out else None
+
+
+def extract_document(payload: bytes, crawl_lang: str = "",
+                     _depth: int = 0) -> dict:
     """bytes in → extraction result dict out.  Never raises.
 
     Keys: doc_type, lang, charset, extracted_text, spans[(s,e)...],
@@ -36,6 +54,18 @@ def extract_document(payload: bytes, crawl_lang: str = "") -> dict:
     """
     try:
         doc_type = sniff_doc_type(payload)
+        if doc_type == "gzip":
+            # gzip transport (M46): inflate and re-extract the inner
+            # document — the OUT row carries the INNER doc_type; depth
+            # cap keeps gzip-of-gzip bombs bounded
+            if _depth >= 2:
+                return empty_result("unknown", crawl_lang,
+                                    "gzip: nesting too deep")
+            inner = _gunzip_salvage(payload)
+            if inner is None:
+                return empty_result("unknown", crawl_lang,
+                                    "gzip: undecodable stream")
+            return extract_document(inner, crawl_lang, _depth + 1)
         if doc_type == "empty":
             return empty_result("empty", crawl_lang)
         if doc_type == "unknown":

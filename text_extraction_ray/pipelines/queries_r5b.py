@@ -125,11 +125,51 @@ def _sql_mhtml_pages() -> str:
     return SQL_EXTRACT_PAGES_PARITY
 
 
+# --- gzip_pages: the parity spec through the gzip transport (M46) ---------
+
+def _gzip_pages_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → one PAGES-schema row whose payload is the planted
+    parity page gzip-wrapped (M46); odd ids truncate the stream mid-way
+    THROUGH THE TRAILER ONLY (full deflate data, torn CRC/ISIZE) so the
+    salvage path decodes the identical page."""
+    import zlib
+
+    from .queries_r5 import _PARITY_TS, _parity_page
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for i in ids:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        gz = co.compress(_parity_page(i)) + co.flush()
+        payloads.append(gz[:-4] if i % 2 else gz)  # torn ISIZE on odd ids
+    return pa.table({
+        "url": pa.array([f"https://parity.test/{i}" for i in ids],
+                        type=pa.string()),
+        "warc_ts": pa.array([_PARITY_TS] * len(ids),
+                            type=pa.timestamp("us")),
+        "html": pa.array(payloads, type=pa.binary()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+    })
+
+
+def q_gzip_pages(sf_dir: str) -> ray.data.Dataset:
+    from .extraction import extract_pages
+    from .queries import read_table
+    from .queries_r5 import _parity_blocks_batch
+
+    pages = (read_table(sf_dir, "documents", ["doc_id"])
+             .map_batches(_gzip_pages_batch, **_PYA))
+    return (extract_pages(pages, mode="single_pass")
+            .map_batches(_parity_blocks_batch, **_PYA))
+
+
 def queries_r5b() -> dict:
     return {"epub_chapters": q_epub_chapters,
-            "mhtml_pages": q_mhtml_pages}
+            "mhtml_pages": q_mhtml_pages,
+            "gzip_pages": q_gzip_pages}
 
 
 def parity_sql_r5b() -> dict[str, str]:
     return {"epub_chapters": SQL_EPUB_CHAPTERS,
-            "mhtml_pages": _sql_mhtml_pages()}
+            "mhtml_pages": _sql_mhtml_pages(),
+            "gzip_pages": _sql_mhtml_pages()}

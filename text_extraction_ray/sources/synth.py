@@ -610,7 +610,7 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.66 or 0.693 <= roll < 0.70:
+    if roll < 0.66 or 0.696 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
         # corpus v=15-19: the [0.66, 0.68) office band splits five
@@ -638,6 +638,14 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         html = _epub_payload(rng, gen_lang)
     elif roll < 0.693:
         html = _mhtml_payload(rng, gen_lang)
+    elif roll < 0.696:
+        # corpus v=23: gzip-wrapped payloads (M46) — .gz assets and
+        # mislabeled content-encoding leftovers; mostly pages, ~20% PDFs
+        import zlib as _z
+        inner = (_pdf_payload(rng) if rng.random() < 0.2
+                 else _page_html(rng, gen_lang).encode("utf-8"))
+        co = _z.compressobj(6, _z.DEFLATED, 31)
+        html = co.compress(inner) + co.flush()
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -681,7 +689,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=22"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=23"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
