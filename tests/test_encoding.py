@@ -147,3 +147,24 @@ def test_gzip_transport_inflates_and_reroutes():
     # double-gzip still resolves (depth 1 < cap)
     r5 = extract_document(gz(gz(page)))
     assert r5["doc_type"] == "html" and r5 == inner
+
+
+def test_zstd_transport_inflates_and_reroutes():
+    """M46 zstd twin: frame-magic payloads decode through pyarrow's
+    bundled codec and the inner document extracts with its own
+    doc_type; truncation salvages, garbage errors precisely."""
+    import pyarrow as pa
+
+    from text_extraction_ray.core.encoding import sniff_doc_type
+    from text_extraction_ray.core.extract import extract_document
+
+    page = (b"<html><body><p>zstd inner page "
+            + b"the and of to in that it is was for on are as with " * 6
+            + b"</p></body></html>")
+    z = bytes(pa.Codec("zstd").compress(page))
+    assert sniff_doc_type(z) == "zstd"
+    r = extract_document(z)
+    assert r["doc_type"] == "html" and r == extract_document(page)
+    # garbage after the magic → precise error route
+    r2 = extract_document(b"\x28\xb5\x2f\xfdjunkjunk")
+    assert not r2["parse_ok"] and "zstd" in r2["error"]

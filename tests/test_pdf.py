@@ -503,3 +503,27 @@ def test_image_xobjects_keep_their_do():
     assert pdf_images(pdf)  # image still found, nothing spliced
     out = extract_pdf(pdf)
     assert out["parse_ok"] is not None  # total, no raise
+
+
+def test_contents_array_concatenates_streams():
+    """M10l: /Contents as an ARRAY of stream refs — the multi-stream
+    page shape real generators emit — concatenates in array order
+    (§7.8.2) and extracts byte-identically to the single-stream twin,
+    across filters and encryption."""
+    def mk(split, **kw):
+        pb = PageBuilder()
+        pb.text_lines(["alpha beta gamma line", "second line here"])
+        pb.table([["a 1", "b 2"], ["c 3", "d 4"]])
+        pb.text_lines(["after table text line"])
+        pb2 = PageBuilder()
+        pb2.text_lines(["page two content"])
+        return build_pdf([pb, pb2], split_contents=split, **kw)
+
+    plain = extract_pdf(mk(False))
+    assert plain["parse_ok"] and plain["extracted_text"]
+    for kw in ({}, {"compress": True}, {"compress": "lzw"},
+               {"encrypt": "rc4-128"}, {"compress": True,
+                                        "encrypt": "aes-128"}):
+        split = extract_pdf(mk(True, **kw))
+        assert split["extracted_text"] == plain["extracted_text"], kw
+        assert split["spans"] == plain["spans"], kw

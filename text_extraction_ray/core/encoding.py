@@ -113,6 +113,10 @@ def sniff_doc_type(payload: bytes) -> str:
         # content-encoding leftovers; the extractor inflates (bounded,
         # prefix-salvaging) and re-sniffs the inner bytes
         return "gzip"
+    if payload.startswith(b"\x28\xb5\x2f\xfd"):
+        # zstd frame magic (M46): decoded through pyarrow's bundled
+        # Zstandard codec when available, else a precise error route
+        return "zstd"
     if payload.startswith(b"PK\x03\x04"):
         # ZIP container (M31/M32): member names occur verbatim in the
         # central directory, so the container routes by its main part;

@@ -45,6 +45,29 @@ def _gunzip_salvage(payload: bytes) -> bytes | None:
     return out if out else None
 
 
+def _unzstd_bounded(payload: bytes) -> bytes | None:
+    """Zstandard inflate through pyarrow's bundled codec (the WARC
+    br/zstd discipline, sources/warc.py M41); None when the codec is
+    unavailable on this build or nothing decodes.  Output bounded by
+    the codec's declared frame size; the depth cap in the caller plus
+    the 64 MiB convention keep bombs bounded."""
+    out = bytearray()
+    try:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            return None
+        st = pa.input_stream(pa.BufferReader(payload), compression="zstd")
+        while len(out) < _GUNZIP_CAP:
+            chunk = st.read(1 << 16)
+            if not chunk:
+                break
+            out += chunk
+    except Exception:  # noqa: BLE001 — total by contract (salvage prefix)
+        pass
+    return bytes(out) if out else None
+
+
 def extract_document(payload: bytes, crawl_lang: str = "",
                      _depth: int = 0) -> dict:
     """bytes in → extraction result dict out.  Never raises.
@@ -54,17 +77,18 @@ def extract_document(payload: bytes, crawl_lang: str = "",
     """
     try:
         doc_type = sniff_doc_type(payload)
-        if doc_type == "gzip":
-            # gzip transport (M46): inflate and re-extract the inner
-            # document — the OUT row carries the INNER doc_type; depth
-            # cap keeps gzip-of-gzip bombs bounded
+        if doc_type in ("gzip", "zstd"):
+            # compression transports (M46): inflate and re-extract the
+            # inner document — the OUT row carries the INNER doc_type;
+            # depth cap keeps nested-bomb payloads bounded
             if _depth >= 2:
                 return empty_result("unknown", crawl_lang,
-                                    "gzip: nesting too deep")
-            inner = _gunzip_salvage(payload)
+                                    f"{doc_type}: nesting too deep")
+            inner = (_gunzip_salvage(payload) if doc_type == "gzip"
+                     else _unzstd_bounded(payload))
             if inner is None:
                 return empty_result("unknown", crawl_lang,
-                                    "gzip: undecodable stream")
+                                    f"{doc_type}: undecodable stream")
             return extract_document(inner, crawl_lang, _depth + 1)
         if doc_type == "empty":
             return empty_result("empty", crawl_lang)

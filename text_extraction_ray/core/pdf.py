@@ -43,6 +43,10 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+# array form (M10l): /Contents [4 0 R 7 0 R] — streams CONCATENATE in
+# array order with whitespace between (PDF 32000-1 §7.8.2: the division
+# into streams is a storage artifact, the content is one stream)
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
@@ -500,13 +504,21 @@ def _page_content_streams(payload: bytes,
         if pn not in objects:
             continue
         page_hdr = objects[pn][0]
-        cm = _CONTENTS_RE.search(page_hdr)
-        if cm and int(cm.group(1)) in objects:
-            data = objects[int(cm.group(1))][1]
-            if data:
-                if b"Do" in data:
-                    data = _expand_forms(page_hdr, data, objects)
-                streams.append(data)
+        refs: list[int] = []
+        am = _CONTENTS_ARR_RE.search(page_hdr)
+        if am:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(page_hdr)
+            if cm:
+                refs = [int(cm.group(1))]
+        parts = [objects[r][1] for r in refs
+                 if r in objects and objects[r][1]]
+        if parts:
+            data = b" ".join(parts)
+            if b"Do" in data:
+                data = _expand_forms(page_hdr, data, objects)
+            streams.append(data)
     if not streams:  # last resort: every stream that contains BT
         for _, (hdr, data) in sorted(objects.items()):
             if data and b"BT" in data and b"/XRef" not in hdr \

@@ -247,7 +247,8 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
               encoding_style: str = "tounicode",
               base_encoding: str | None = None,
               encrypt: str | bool = False,
-              as_form: bool = False) -> bytes:
+              as_form: bool = False,
+              split_contents: bool = False) -> bytes:
     """Assemble a complete PDF with xref table and trailer.
 
     ``compress``: False = plain streams; True = /FlateDecode; or a
@@ -265,7 +266,9 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
     """
     objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
     n_pages = len(pages)
-    per_page = 3 if as_form else 2
+    if as_form and split_contents:
+        raise ValueError("as_form and split_contents are exclusive")
+    per_page = 3 if (as_form or split_contents) else 2
     font_num = 3 + per_page * n_pages
     kids = " ".join(f"{3 + per_page * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
@@ -309,6 +312,24 @@ def build_pdf(pages: list[PageBuilder], compress: bool | str = False,
                  f"/BBox [0 0 {PAGE_W} {PAGE_H}] "
                  f"/Resources << /Font << /F1 {font_num} 0 R >> >>"
                  ).encode()))
+            continue
+        if split_contents:
+            # M10l: /Contents as a two-stream ARRAY — the multi-stream
+            # page shape real generators emit; streams concatenate in
+            # array order (PDF 32000-1 §7.8.2)
+            data = page.content()
+            cut = data.find(b"ET", len(data) // 2)
+            cut = cut + 2 if cut >= 0 else len(data)
+            objects.append(
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+                    f"/Contents [{content_num} 0 R {content_num + 1} 0 R] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+                ).encode()
+            )
+            objects.append(stream_obj(data[:cut]))
+            objects.append(stream_obj(data[cut:].lstrip()))
             continue
         objects.append(
             (

@@ -329,9 +329,11 @@ def _pdf_payload(rng: random.Random) -> bytes:
         pages.append(pb)
     # corpus v=22: ~20% of text PDFs put their page content inside a
     # /Subtype /Form XObject invoked via Do (core/pdf.py M10k — the
-    # real-world generator shape); extraction is byte-identical to the
-    # direct-content twin by construction
+    # real-world generator shape); v=24 cycles another ~20% through the
+    # /Contents ARRAY form (M10l — multiple streams concatenating per
+    # §7.8.2); both are byte-identical to the direct-content twin
     as_form = rng.random() < 0.2
+    split = not as_form and rng.random() < 0.25
     if unicode_lines is not None:
         from ..core.pdf_write import make_code_map
 
@@ -339,7 +341,8 @@ def _pdf_payload(rng: random.Random) -> bytes:
             pages, compress=_stream_spec(rng),
             code_map=make_code_map(unicode_lines),
             encoding_style=rng.choice(["tounicode", "differences"]),
-            encrypt=_encrypt_spec(rng), as_form=as_form)
+            encrypt=_encrypt_spec(rng), as_form=as_form,
+            split_contents=split)
     if cid_lines is not None:
         from ..core.pdf_write import make_cid_map
 
@@ -347,13 +350,16 @@ def _pdf_payload(rng: random.Random) -> bytes:
             pages, compress=_stream_spec(rng),
             code_map=make_cid_map(cid_lines),
             encoding_style="cid",
-            encrypt=_encrypt_spec(rng), as_form=as_form)
+            encrypt=_encrypt_spec(rng), as_form=as_form,
+            split_contents=split)
     if base_lines is not None:
         return build_pdf(pages, compress=_stream_spec(rng),
                          base_encoding=base_enc,
-                         encrypt=_encrypt_spec(rng), as_form=as_form)
+                         encrypt=_encrypt_spec(rng), as_form=as_form,
+                         split_contents=split)
     return build_pdf(pages, compress=_stream_spec(rng),
-                     encrypt=_encrypt_spec(rng), as_form=as_form)
+                     encrypt=_encrypt_spec(rng), as_form=as_form,
+                     split_contents=split)
 
 
 def _giant_html(rng: random.Random, lang: str, cap_bytes: int) -> bytes:
@@ -644,8 +650,13 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         import zlib as _z
         inner = (_pdf_payload(rng) if rng.random() < 0.2
                  else _page_html(rng, gen_lang).encode("utf-8"))
-        co = _z.compressobj(6, _z.DEFLATED, 31)
-        html = co.compress(inner) + co.flush()
+        if rng.random() < 0.33:
+            # v=24: a zstd-framed minority (decoded via pyarrow's codec)
+            import pyarrow as _pa
+            html = bytes(_pa.Codec("zstd").compress(inner))
+        else:
+            co = _z.compressobj(6, _z.DEFLATED, 31)
+            html = co.compress(inner) + co.flush()
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -689,7 +700,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=23"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=24"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
