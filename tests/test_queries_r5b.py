@@ -79,3 +79,17 @@ def test_gzip_pages_duckdb_parity(ray_session, sf_dir):
            .sort_values(["doc_id", "block_idx"]).reset_index(drop=True))
     want = _want(sf_dir, _sql_mhtml_pages(), "doc_id, block_idx")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_tar_source_stats_duckdb_parity(ray_session, sf_dir):
+    """S22: tar shards (plain + gzip, GNU-form names) read back through
+    the PAGES-schema source — member name, mtime and body length all
+    recompute from doc_id in SQL."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        SQL_TAR_SOURCE_STATS, q_tar_source_stats)
+
+    got = (q_tar_source_stats(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _want(sf_dir, SQL_TAR_SOURCE_STATS, "doc_id")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -116,7 +116,8 @@ class PartitionWorker:
         return pa.Table.from_pylist(metrics_rows)
 
 
-_SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl", ".csv")
+_SHARD_EXTS = (".parquet", ".warc", ".warc.gz", ".jsonl", ".csv",
+               ".tar", ".tar.gz", ".tgz")
 
 
 def _iter_shard_tables(shard: str):
@@ -216,6 +217,18 @@ def _iter_shard_tables(shard: str):
         if n_bad:
             logging.getLogger(__name__).warning(
                 "%s: skipped %d malformed csv row(s)", shard, n_bad)
+        return
+    if shard.endswith((".tar", ".tar.gz", ".tgz")):
+        from ..sources.tar import tar_to_pages
+
+        # document-dump tarballs (S22): one member per document; the
+        # whole shard reads once (tar has no record-level framing to
+        # stream against), then chunks flow row-group-sized like the
+        # other formats
+        with open(shard, "rb") as fh:
+            tbl = tar_to_pages(shard, fh.read())
+        for start in range(0, tbl.num_rows, _ROWGROUP_BATCH):
+            yield tbl.slice(start, _ROWGROUP_BATCH)
         return
     pf = pq.ParquetFile(shard)
     for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,

@@ -163,13 +163,89 @@ def q_gzip_pages(sf_dir: str) -> ray.data.Dataset:
             .map_batches(_parity_blocks_batch, **_PYA))
 
 
+# --- tar_source_stats: value-level ustar source oracle (S22) --------------
+
+def _tar_fixture(sf_dir: str) -> list[str]:
+    """Deterministic tar shards derived from the documents ids: member
+    ``docs/<id>.txt`` with mtime ``1.7e9 + id`` and a body whose length
+    is a pure id function — stamped idempotent under /tmp."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.tar import write_tar
+
+    ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+                 .column("doc_id").to_pylist())
+    root = os.path.join(tempfile.gettempdir(),
+                        f"tx_tar_fixture_{len(ids)}")
+    names = [os.path.join(root, f"shard-{k}.tar" + (".gz" if k % 2
+                                                    else ""))
+             for k in range(4)]
+    stamp = os.path.join(root, "_STAMP")
+    want = f"v1 n={len(ids)}"
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            if fh.read() == want and all(os.path.exists(p)
+                                         for p in names):
+                return names
+    os.makedirs(root, exist_ok=True)
+    for k, path in enumerate(names):
+        members = [(f"docs/{i:08d}.txt", 1_700_000_000 + i,
+                    (f"d{i:08d}e" * (1 + i % 3)).encode())
+                   for i in ids if i % 4 == k]
+        with open(path + ".tmp", "wb") as fh:
+            fh.write(write_tar(members, gzip_out=k % 2 == 1))
+        os.replace(path + ".tmp", path)
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return names
+
+
+def q_tar_source_stats(sf_dir: str) -> ray.data.Dataset:
+    """Read the tar shards back through the PAGES-schema source and
+    re-derive (doc_id, n_bytes, mtime_s) per member — name/mtime/body
+    plumbing all inside the driver's hash."""
+    import pyarrow.compute as pc
+
+    from ..sources.tar import read_tar_pages
+
+    paths = _tar_fixture(sf_dir)
+
+    def stats(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        ids = [int(u.rsplit("/", 1)[1].split(".")[0]) for u in urls]
+        epoch = pc.divide(pc.cast(b.column("warc_ts"), pa.int64()),
+                          1_000_000)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_bytes": pc.cast(pc.binary_length(b.column("html")),
+                               pa.int64()),
+            "mtime_s": pc.cast(epoch, pa.int64()),
+        })
+
+    return read_tar_pages(paths).map_batches(stats, **_PYA)
+
+
+SQL_TAR_SOURCE_STATS = """
+SELECT doc_id,
+       CAST(10 * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
+       CAST(1700000000 + doc_id AS BIGINT) AS mtime_s
+FROM documents
+"""
+
+
 def queries_r5b() -> dict:
     return {"epub_chapters": q_epub_chapters,
             "mhtml_pages": q_mhtml_pages,
-            "gzip_pages": q_gzip_pages}
+            "gzip_pages": q_gzip_pages,
+            "tar_source_stats": q_tar_source_stats}
 
 
 def parity_sql_r5b() -> dict[str, str]:
     return {"epub_chapters": SQL_EPUB_CHAPTERS,
             "mhtml_pages": _sql_mhtml_pages(),
-            "gzip_pages": _sql_mhtml_pages()}
+            "gzip_pages": _sql_mhtml_pages(),
+            "tar_source_stats": SQL_TAR_SOURCE_STATS}
