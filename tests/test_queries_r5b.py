@@ -93,3 +93,35 @@ def test_tar_source_stats_duckdb_parity(ray_session, sf_dir):
            .sort_values("doc_id").reset_index(drop=True))
     want = _want(sf_dir, SQL_TAR_SOURCE_STATS, "doc_id")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_ods_cells_duckdb_parity(ray_session, sf_dir):
+    """M47: the xls_cells planted grid through the ODF table grammar —
+    typed attribute values, stored/deflated packages, repeat handling
+    all inside the hash."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        SQL_ODS_CELLS, q_ods_cells)
+
+    got = (q_ods_cells(sf_dir).to_pandas()
+           .sort_values(["doc_id", "sheet", "row_i", "col_i"])
+           .reset_index(drop=True))
+    want = _want(sf_dir, SQL_ODS_CELLS, "doc_id, sheet, row_i, col_i")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["kind"]) == {"s", "n", "b"}
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_odp_paragraphs_duckdb_parity(ray_session, sf_dir):
+    """M48: the ppt_paragraphs planted spec through the ODF drawing
+    grammar — one value spec, two presentation generations; planted
+    presenter notes must be excluded for the hash to match."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        _sql_odp_paragraphs, q_odp_paragraphs)
+
+    got = (q_odp_paragraphs(sf_dir).to_pandas()
+           .sort_values(["doc_id", "slide", "para_idx"])
+           .reset_index(drop=True))
+    want = _want(sf_dir, _sql_odp_paragraphs(),
+                 "doc_id, slide, para_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -335,14 +335,19 @@ def build_document_xml(paragraphs: list[tuple[str, str]],
     ).encode()
 
 
-def build_zip(members: list[tuple[str, bytes]], *, deflate: bool = True) -> bytes:
-    """Deterministic ZIP writer (fixed DOS timestamp, no extra fields)."""
+def build_zip(members: list[tuple[str, bytes]], *, deflate: bool = True,
+              store_first: bool = False) -> bytes:
+    """Deterministic ZIP writer (fixed DOS timestamp, no extra fields).
+    ``store_first`` forces member 0 STORED regardless of ``deflate`` —
+    the ODF/OCF mimetype-first convention (Part 3 §3.3); the longer ODF
+    mimetypes DO shrink under deflate, so the size fallback alone is
+    not enough for them."""
     out = bytearray()
     central = bytearray()
-    for name, payload in members:
+    for k, (name, payload) in enumerate(members):
         nb = name.encode()
         crc = zlib.crc32(payload) & 0xFFFFFFFF
-        if deflate:
+        if deflate and not (store_first and k == 0):
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             comp = c.compress(payload) + c.flush()
             method = 8

@@ -94,8 +94,8 @@ def _skip_xml_misc(buf: bytes) -> bytes:
 
 def sniff_doc_type(payload: bytes) -> str:
     """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
-    odt | rtf | doc | xls | ppt | epub | mhtml | feed | gzip | empty |
-    unknown (M1).  ``gzip`` is a TRANSPORT, not a document type: the
+    odt | ods | odp | rtf | doc | xls | ppt | epub | mhtml | feed |
+    gzip | zstd | empty | unknown (M1).  ``gzip`` is a TRANSPORT, not a document type: the
     extractor inflates and re-sniffs, so OUT rows never carry it.
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
@@ -129,6 +129,10 @@ def sniff_doc_type(payload: bytes) -> str:
             return "pptx"
         if b"application/vnd.oasis.opendocument.text" in payload:
             return "odt"
+        if b"application/vnd.oasis.opendocument.spreadsheet" in payload:
+            return "ods"
+        if b"application/vnd.oasis.opendocument.presentation" in payload:
+            return "odp"
         if b"application/epub+zip" in payload:
             # OCF package (M44): the mimetype member is stored-first per
             # OCF §3.3, so the string appears verbatim in the bytes

@@ -123,8 +123,8 @@ def extract_document(payload: bytes, crawl_lang: str = "",
 
             r = extract_mhtml(payload, crawl_lang)
             return {"doc_type": "mhtml", **r}
-        if doc_type in ("docx", "xlsx", "pptx", "odt", "rtf",
-                        "doc", "xls", "ppt", "epub"):
+        if doc_type in ("docx", "xlsx", "pptx", "odt", "ods", "odp",
+                        "rtf", "doc", "xls", "ppt", "epub"):
             from .html_extract import JOINER
             from .stopwords import STOPWORDS, vote_lang
 
@@ -152,6 +152,12 @@ def extract_document(payload: bytes, crawl_lang: str = "",
             elif doc_type == "epub":
                 from .epub import extract_epub
                 r = extract_epub(payload, JOINER)
+            elif doc_type == "ods":
+                from .ods_odp import extract_ods
+                r = extract_ods(payload, JOINER)
+            elif doc_type == "odp":
+                from .ods_odp import extract_odp
+                r = extract_odp(payload, JOINER)
             else:
                 from .rtf import extract_rtf
                 r = extract_rtf(payload, JOINER)

@@ -131,7 +131,8 @@ def extract_pages(
                               "or doc_type == 'odt' or doc_type == 'rtf' "
                               "or doc_type == 'doc' or doc_type == 'xls' "
                               "or doc_type == 'ppt' or doc_type == 'epub' "
-                              "or doc_type == 'gzip'")
+                              "or doc_type == 'gzip' or doc_type == 'zstd' "
+                              "or doc_type == 'ods' or doc_type == 'odp'")
     other = sniffed.filter(expr="doc_type == 'empty' or doc_type == 'unknown'")
 
     drop = ["doc_type", "n_bytes"]

@@ -237,15 +237,140 @@ FROM documents
 """
 
 
+# --- ods_cells / odp_paragraphs: value-level ODF oracles (M47/M48) --------
+
+def _ods_cells_batch(batch: pa.Table) -> pa.Table:
+    from ..core.docx import zip_read
+    from ..core.ods_odp import build_ods, parse_ods
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_sheet, o_row, o_col, o_val, o_kind = [], [], [], [], [], []
+    for i in ids:
+        nr = 2 + i % 2
+        rows: list[list[object]] = [
+            [f"v {i}-{r}", (i * 31 + r) % 97 - 40,
+             float((i * 7 + r) % 50) + 0.5, bool((i + r) % 2)]
+            for r in range(nr)]
+        sheets = [("S0", rows)]
+        if i % 4 == 0:
+            sheets.append(("T1", [[f"t {i}"]]))
+        payload = build_ods(sheets, deflate=i % 2 == 0)
+        xml = zip_read(payload, "content.xml").decode("utf-8", "replace")
+        for c in parse_ods(xml):
+            o_id.append(i)
+            o_sheet.append(c["sheet"])
+            o_row.append(c["row"])
+            o_col.append(c["col"])
+            o_val.append(str(c["value"]))
+            o_kind.append(c["kind"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "sheet": pa.array(o_sheet, type=pa.string()),
+        "row_i": pa.array(o_row, type=pa.int64()),
+        "col_i": pa.array(o_col, type=pa.int64()),
+        "value": pa.array(o_val, type=pa.string()),
+        "kind": pa.array(o_kind, type=pa.string()),
+    })
+
+
+def q_ods_cells(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_ods_cells_batch, **_PYA))
+
+
+# the planted grid is IDENTICAL to xls_cells' (queries_r5.py), so the
+# SQL differs only in the kind labels — both spreadsheet generations
+# and both container families land on one value spec
+SQL_ODS_CELLS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) + 2 AS nr FROM documents
+), r AS (
+  SELECT doc_id, unnest(generate_series(1, nr)) AS row_i FROM d)
+SELECT doc_id, 'S0' AS sheet, row_i, CAST(1 AS BIGINT) AS col_i,
+       'v ' || doc_id || '-' || (row_i - 1) AS value, 's' AS kind
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 2,
+       CAST((doc_id * 31 + row_i - 1) % 97 - 40 AS VARCHAR), 'n'
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 3,
+       CAST((doc_id * 7 + row_i - 1) % 50 AS VARCHAR) || '.5', 'n'
+FROM r
+UNION ALL
+SELECT doc_id, 'S0', row_i, 4,
+       CAST((doc_id + row_i - 1) % 2 AS VARCHAR), 'b'
+FROM r
+UNION ALL
+SELECT doc_id, 'T1', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       't ' || doc_id, 's'
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
+def _odp_paras_batch(batch: pa.Table) -> pa.Table:
+    from ..core.docx import zip_read
+    from ..core.ods_odp import build_odp, parse_odp
+
+    ids = batch.column("doc_id").to_pylist()
+    o_id, o_slide, o_idx, o_text = [], [], [], []
+    for i in ids:
+        slides: list[list[str]] = []
+        for s in range(1 + i % 2):
+            paras = [f"Slide {i}-{s}" + (" …" if i % 5 == 0 else "")]
+            for k in range(1 + (i + s) % 2):
+                paras.append(
+                    f"line {i}-{s}-{k} v {(i * 13 + s * 7 + k) % 40}")
+            if (i + s) % 3 == 0:
+                paras.append("")
+            slides.append(paras)
+        payload = build_odp(slides, deflate=i % 2 == 0,
+                            with_notes=i % 3 == 0)
+        xml = zip_read(payload, "content.xml").decode("utf-8", "replace")
+        for p in parse_odp(xml):
+            o_id.append(i)
+            o_slide.append(p["slide"])
+            o_idx.append(p["para_idx"])
+            o_text.append(p["text"])
+    return pa.table({
+        "doc_id": pa.array(o_id, type=pa.int64()),
+        "slide": pa.array(o_slide, type=pa.int64()),
+        "para_idx": pa.array(o_idx, type=pa.int64()),
+        "text": pa.array(o_text, type=pa.string()),
+    })
+
+
+def q_odp_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    from .queries import read_table
+
+    return (read_table(sf_dir, "documents", ["doc_id"])
+            .map_batches(_odp_paras_batch, **_PYA))
+
+
+def _sql_odp_paragraphs() -> str:
+    # identical planted spec to ppt_paragraphs (queries_r5.py) — one
+    # value spec, two presentation generations; the planted notes
+    # paragraph must be excluded for the hash to match
+    from .queries_r5 import SQL_PPT_PARAGRAPHS
+
+    return SQL_PPT_PARAGRAPHS
+
+
 def queries_r5b() -> dict:
     return {"epub_chapters": q_epub_chapters,
             "mhtml_pages": q_mhtml_pages,
             "gzip_pages": q_gzip_pages,
-            "tar_source_stats": q_tar_source_stats}
+            "tar_source_stats": q_tar_source_stats,
+            "ods_cells": q_ods_cells,
+            "odp_paragraphs": q_odp_paragraphs}
 
 
 def parity_sql_r5b() -> dict[str, str]:
     return {"epub_chapters": SQL_EPUB_CHAPTERS,
             "mhtml_pages": _sql_mhtml_pages(),
             "gzip_pages": _sql_mhtml_pages(),
-            "tar_source_stats": SQL_TAR_SOURCE_STATS}
+            "tar_source_stats": SQL_TAR_SOURCE_STATS,
+            "ods_cells": SQL_ODS_CELLS,
+            "odp_paragraphs": _sql_odp_paragraphs()}

@@ -28,9 +28,11 @@ OUT = pa.schema(
         ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()),
         ("doc_type", pa.string()),       # html | pdf | feed | docx | xlsx
-                                         # | pptx | odt | rtf | doc | xls
-                                         # | ppt | epub | mhtml | empty
-                                         # | unknown
+                                         # | pptx | odt | ods | odp | rtf
+                                         # | doc | xls | ppt | epub | mhtml
+                                         # | empty | unknown  (gzip/zstd
+                                         # are transports: rows carry the
+                                         # inner type)
         ("extracted_text", pa.string()),  # THE byte-identical payload
         ("spans", pa.list_(SPAN)),
         ("n_blocks_kept", pa.int32()),

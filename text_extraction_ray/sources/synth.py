@@ -604,6 +604,48 @@ def _mhtml_payload(rng: random.Random, lang: str) -> bytes:
                        start=rng.random() < 0.3, extra_parts=extra)
 
 
+def _ods_payload(rng: random.Random, lang: str) -> bytes:
+    """An ODF spreadsheet (corpus v=25, M47): typed cells (strings,
+    ints, floats, booleans, gaps), repeated-column pairs, stored vs
+    deflated packages."""
+    from ..core.ods_odp import build_ods
+
+    def rows() -> list[list[object]]:
+        out: list[list[object]] = []
+        for _ in range(rng.randint(2, 5)):
+            row: list[object] = [" ".join(_words(rng, lang,
+                                                 rng.randint(1, 3)))]
+            row.append(rng.randint(-9999, 9999))
+            if rng.random() < 0.4:
+                row.append(rng.random() < 0.5)
+            if rng.random() < 0.2:
+                row.append(None)
+                row.append(" ".join(_words(rng, lang, 2)))
+            out.append(row)
+        return out
+
+    sheets = [("Data", rows())]
+    if rng.random() < 0.3:
+        sheets.append((" ".join(_words(rng, lang, 2)), rows()))
+    return build_ods(sheets, deflate=rng.random() < 0.8,
+                     repeat_cols=rng.random() < 0.3)
+
+
+def _odp_payload(rng: random.Random, lang: str) -> bytes:
+    """An ODF presentation (corpus v=25, M48): 1-3 slides of title +
+    bullets, presenter notes planted on some decks (reader excludes)."""
+    from ..core.ods_odp import build_odp
+
+    slides = []
+    for _ in range(rng.randint(1, 3)):
+        paras = [" ".join(_words(rng, lang, rng.randint(2, 4)))]
+        for _ in range(rng.randint(1, 3)):
+            paras.append(_sentence(rng, lang))
+        slides.append(paras)
+    return build_odp(slides, deflate=rng.random() < 0.8,
+                     with_notes=rng.random() < 0.3)
+
+
 def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     """Pure function (seed, i) → one pages row; i%50==49 duplicates i-1."""
     if i % 50 == 49 and i > 0:
@@ -616,7 +658,7 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.66 or 0.696 <= roll < 0.70:
+    if roll < 0.66 or 0.698 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
         # corpus v=15-19: the [0.66, 0.68) office band splits five
@@ -657,6 +699,11 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         else:
             co = _z.compressobj(6, _z.DEFLATED, 31)
             html = co.compress(inner) + co.flush()
+    elif roll < 0.697:
+        # corpus v=25: ODF spreadsheet/presentation band (M47/M48)
+        html = _ods_payload(rng, gen_lang)
+    elif roll < 0.698:
+        html = _odp_payload(rng, gen_lang)
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -700,7 +747,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=24"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=25"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
