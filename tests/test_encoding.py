@@ -168,3 +168,26 @@ def test_zstd_transport_inflates_and_reroutes():
     # garbage after the magic → precise error route
     r2 = extract_document(b"\x28\xb5\x2f\xfdjunkjunk")
     assert not r2["parse_ok"] and "zstd" in r2["error"]
+
+
+def test_plain_text_route():
+    """M49: printable utf-8 payloads route doc_type='text' and extract
+    blank-line paragraphs under the shared byte conventions; random
+    bytes and control-laden payloads stay unknown."""
+    from text_extraction_ray.core.extract import extract_document
+
+    txt = (b"First paragraph here.\n\n"
+           b"Second paragraph after a blank line.\nStill second.\n\n"
+           b"\xc3\xa9 third with accent.")
+    assert sniff_doc_type(txt) == "text"
+    r = extract_document(txt)
+    assert r["doc_type"] == "text" and r["parse_ok"]
+    assert r["n_blocks_kept"] == 3
+    assert r["extracted_text"].split("\n\n")[1] == (
+        "Second paragraph after a blank line. Still second.")
+    for s, e in r["spans"]:
+        assert r["extracted_text"][s:e]
+    # conservative negatives
+    assert sniff_doc_type(b"short") == "unknown"          # < 16 bytes
+    assert sniff_doc_type(b"has a \x00 byte in the middle") == "unknown"
+    assert sniff_doc_type(b"\xff\xfa not valid utf-8 here") == "unknown"

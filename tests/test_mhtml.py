@@ -120,8 +120,9 @@ def test_sniff_conservative():
     fake = b"<html><body><p>about multipart/related MIME</p></body></html>"
     assert not looks_like_mhtml(fake)
     assert sniff_doc_type(fake) == "html"
-    # a bare header line without the multipart hint stays unknown
-    assert sniff_doc_type(b"Subject: hello\r\n\r\nplain text") == "unknown"
+    # a bare header line without the multipart hint is not MHTML —
+    # it routes down the plain-text path (M49)
+    assert sniff_doc_type(b"Subject: hello\r\n\r\nplain text") == "text"
 
 
 def test_totality_on_malformed_envelopes():

@@ -125,3 +125,65 @@ def test_odp_paragraphs_duckdb_parity(ray_session, sf_dir):
     want = _want(sf_dir, _sql_odp_paragraphs(),
                  "doc_id, slide, para_idx")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_text_pages_duckdb_parity(ray_session, sf_dir):
+    """M49: plain-text documents through the real actor pool — the
+    blank-line paragraph split, ws collapse and span assembly all
+    recompute from doc_id in SQL."""
+    from text_extraction_ray.pipelines.queries_r5b import (
+        SQL_TEXT_PAGES, q_text_pages)
+
+    got = (q_text_pages(sf_dir).to_pandas()
+           .sort_values(["doc_id", "block_idx"]).reset_index(drop=True))
+    want = _want(sf_dir, SQL_TEXT_PAGES, "doc_id, block_idx")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_routed_mode_covers_round5_doc_types(ray_session):
+    """M12 routing for every round-5 type: rows covering epub / mhtml /
+    gzip / zstd / ods / odp / tar-derived text / plain text run through
+    BOTH physical plans and produce identical OUT rows (the tiny golden
+    corpus never draws these narrow bands, so the routed-mode golden
+    test alone would leave them unrouted)."""
+    import pyarrow as pa
+    import ray.data
+
+    from text_extraction_ray.core.encoding import sniff_doc_type
+    from text_extraction_ray.pipelines.extraction import extract_pages
+    from text_extraction_ray.sources.synth import make_row
+
+    want_types = {"epub", "mhtml", "gzip", "zstd", "ods", "odp", "text"}
+    rows = []
+    seen = set()
+    for i in range(12000):
+        row = make_row(i)
+        t = sniff_doc_type(row["html"])
+        if t in want_types and len([r for r in rows
+                                    if r[1] == t]) < 2:
+            rows.append((row, t))
+            seen.add(t)
+        if seen == want_types and len(rows) >= 10:
+            break
+    assert seen == want_types, f"missing types: {want_types - seen}"
+    tbl = pa.table({
+        "url": pa.array([r["url"] for r, _ in rows]),
+        "warc_ts": pa.array([r["warc_ts"] for r, _ in rows],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r, _ in rows],
+                         type=pa.binary()),
+        "lang": pa.array([r["lang"] for r, _ in rows]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    a = (extract_pages(ds, mode="single_pass", concurrency=(1, 2))
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    b = (extract_pages(ray.data.from_arrow(tbl), mode="routed",
+                       concurrency=(1, 2))
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+    assert a["doc_type"].tolist() == b["doc_type"].tolist()
+    # every row extracted real text through its own route
+    assert set(a["doc_type"]) >= (want_types - {"gzip", "zstd"})
+    assert (a["extracted_text"].str.len() > 0).all()

@@ -95,7 +95,7 @@ def _skip_xml_misc(buf: bytes) -> bytes:
 def sniff_doc_type(payload: bytes) -> str:
     """Classify raw payload bytes: html | pdf | docx | xlsx | pptx |
     odt | ods | odp | rtf | doc | xls | ppt | epub | mhtml | feed |
-    gzip | zstd | empty | unknown (M1).  ``gzip`` is a TRANSPORT, not a document type: the
+    text | gzip | zstd | empty | unknown (M1).  ``gzip`` is a TRANSPORT, not a document type: the
     extractor inflates and re-sniffs, so OUT rows never carry it.
 
     Feeds (RSS/Atom, M28) are recognized conservatively: the payload
@@ -165,7 +165,28 @@ def sniff_doc_type(payload: bytes) -> str:
             return "feed"
     if _MARKUP_HINT_RE.search(head):
         return "html"
+    if looks_like_text(payload):
+        return "text"
     return "unknown"
+
+
+def looks_like_text(payload: bytes) -> bool:
+    """Plain-text document sniff (M49): the payload must decode as
+    STRICT utf-8 (multi-byte sequences are self-checking — random
+    bytes fail with overwhelming probability) or be pure 7-bit ASCII,
+    contain no C0 control bytes besides tab/newline/CR/FF, and carry a
+    minimum of real content.  Deliberately conservative: crawl garbage
+    (random bytes, truncated binaries) must keep routing ``unknown``."""
+    if len(payload) < 16:
+        return False
+    head = payload[:64 << 10]
+    try:
+        text = head.decode("utf-8", "strict")
+    except UnicodeDecodeError:
+        return False
+    n_ctl = sum(1 for c in text[:4096]
+                if ord(c) < 32 and c not in "\t\n\r\x0c")
+    return n_ctl == 0
 
 
 def decode_xml(payload: bytes) -> tuple[str, str]:

@@ -118,6 +118,42 @@ def extract_document(payload: bytes, crawl_lang: str = "",
                 "error": ("" if parsed["kind"] is not None
                           else "feed root not parseable"),
             }
+        if doc_type == "text":
+            # plain-text documents (M49): .txt files, READMEs, logs —
+            # paragraphs split on blank lines, each block ws-collapsed
+            # under the shared byte conventions, ALL non-empty blocks
+            # kept (plain text has no boilerplate markup to classify)
+            import re as _re
+
+            from .dom import collapse_ws
+            from .html_extract import JOINER
+            from .stopwords import STOPWORDS, vote_lang
+
+            text = payload.decode("utf-8", "strict")
+            pieces = [collapse_ws(p).strip()
+                      for p in _re.split(r"\n[ \t\r\x0c]*\n", text)]
+            pieces = [p for p in pieces if p]
+            spans: list[tuple[int, int]] = []
+            pos = 0
+            for k, p in enumerate(pieces):
+                if k:
+                    pos += len(JOINER)
+                spans.append((pos, pos + len(p)))
+                pos += len(p)
+            body = JOINER.join(pieces)
+            lang = (crawl_lang if crawl_lang in STOPWORDS
+                    else vote_lang(body.split(" ")) if body else "en")
+            return {
+                "doc_type": "text",
+                "lang": lang,
+                "charset": "utf-8",
+                "extracted_text": body,
+                "spans": spans,
+                "n_blocks_kept": len(pieces),
+                "n_blocks_dropped": 0,
+                "parse_ok": True,
+                "error": "",
+            }
         if doc_type == "mhtml":
             from .mhtml import extract_mhtml
 

@@ -120,10 +120,12 @@ def extract_pages(
     # text-assembly shape, same small-payload profile (M28, M45)
     html = sniffed.filter(
         expr=f"(doc_type == 'html' or doc_type == 'feed' "
-             f"or doc_type == 'mhtml') and n_bytes < {GIANT_BYTES}")
+             f"or doc_type == 'mhtml' or doc_type == 'text') "
+             f"and n_bytes < {GIANT_BYTES}")
     giant = sniffed.filter(
         expr=f"(doc_type == 'html' or doc_type == 'feed' "
-             f"or doc_type == 'mhtml') and n_bytes >= {GIANT_BYTES}")
+             f"or doc_type == 'mhtml' or doc_type == 'text') "
+             f"and n_bytes >= {GIANT_BYTES}")
     # office containers share the pdf branch: same binary-container
     # profile, same per-document parse cost shape (M31-M39, M44)
     pdf = sniffed.filter(expr="doc_type == 'pdf' or doc_type == 'docx' "

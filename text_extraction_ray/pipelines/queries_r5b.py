@@ -358,13 +358,57 @@ def _sql_odp_paragraphs() -> str:
     return SQL_PPT_PARAGRAPHS
 
 
+# --- text_pages: the plain-text route through the actor pool (M49) --------
+
+def _text_pages_batch(batch: pa.Table) -> pa.Table:
+    from .queries_r5 import _PARITY_TS
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for i in ids:
+        paras = [f"plain para {i}-{k} word {(i * 19 + k) % 70}"
+                 for k in range(1 + i % 3)]
+        payloads.append(("\n\n".join(paras) + "\n").encode("utf-8"))
+    return pa.table({
+        "url": pa.array([f"https://parity.test/{i}" for i in ids],
+                        type=pa.string()),
+        "warc_ts": pa.array([_PARITY_TS] * len(ids),
+                            type=pa.timestamp("us")),
+        "html": pa.array(payloads, type=pa.binary()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+    })
+
+
+def q_text_pages(sf_dir: str) -> ray.data.Dataset:
+    from .extraction import extract_pages
+    from .queries import read_table
+    from .queries_r5 import _parity_blocks_batch
+
+    pages = (read_table(sf_dir, "documents", ["doc_id"])
+             .map_batches(_text_pages_batch, **_PYA))
+    return (extract_pages(pages, mode="single_pass")
+            .map_batches(_parity_blocks_batch, **_PYA))
+
+
+SQL_TEXT_PAGES = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) + 1 AS nb FROM documents)
+SELECT doc_id, k AS block_idx,
+       'plain para ' || doc_id || '-' || k || ' word '
+         || (doc_id * 19 + k) % 70 AS text,
+       nb AS n_kept, CAST(0 AS BIGINT) AS n_dropped
+FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS k) t
+"""
+
+
 def queries_r5b() -> dict:
     return {"epub_chapters": q_epub_chapters,
             "mhtml_pages": q_mhtml_pages,
             "gzip_pages": q_gzip_pages,
             "tar_source_stats": q_tar_source_stats,
             "ods_cells": q_ods_cells,
-            "odp_paragraphs": q_odp_paragraphs}
+            "odp_paragraphs": q_odp_paragraphs,
+            "text_pages": q_text_pages}
 
 
 def parity_sql_r5b() -> dict[str, str]:
@@ -373,4 +417,5 @@ def parity_sql_r5b() -> dict[str, str]:
             "gzip_pages": _sql_mhtml_pages(),
             "tar_source_stats": SQL_TAR_SOURCE_STATS,
             "ods_cells": SQL_ODS_CELLS,
-            "odp_paragraphs": _sql_odp_paragraphs()}
+            "odp_paragraphs": _sql_odp_paragraphs(),
+            "text_pages": SQL_TEXT_PAGES}

@@ -658,7 +658,7 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
     url = f"https://site{i % 97}.example/{gen_lang}/page-{i}"
     ts = _BASE_TS + _dt.timedelta(seconds=i * 137)
     roll = rng.random()
-    if roll < 0.66 or 0.698 <= roll < 0.70:
+    if roll < 0.66 or 0.699 <= roll < 0.70:
         html = _page_html(rng, gen_lang).encode("utf-8")
     elif roll < 0.6706:
         # corpus v=15-19: the [0.66, 0.68) office band splits five
@@ -704,6 +704,12 @@ def make_row(i: int, seed: int = 42, giant_cap: int = 256 * 1024) -> dict:
         html = _ods_payload(rng, gen_lang)
     elif roll < 0.698:
         html = _odp_payload(rng, gen_lang)
+    elif roll < 0.699:
+        # corpus v=26: plain-text documents (M49) — .txt/READMEs;
+        # paragraphs separated by blank lines, no markup at all
+        html = "\n\n".join(
+            _paragraph(rng, gen_lang, rng.randint(1, 3))
+            for _ in range(rng.randint(1, 5))).encode("utf-8")
     elif roll < 0.80:  # charset variants
         sub = rng.random()
         if sub < 0.3 and gen_lang in ("de", "es"):
@@ -747,7 +753,7 @@ def gen_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8,
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp_path = os.path.join(out_dir, "_STAMP")
-    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=25"
+    stamp = f"seed={seed} n={n_rows} shards={n_shards} cap={giant_cap} v=26"
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
     if not force and os.path.exists(stamp_path):
         with open(stamp_path) as fh:
