@@ -229,3 +229,69 @@ def test_fuzz_warc_content_codings_total():
             assert isinstance(b, bytes) and isinstance(e, str)
             if e:  # flagged: bytes kept losslessly
                 assert b == body
+
+
+def test_fuzz_round5_containers_total():
+    """Truncations and bit-flips of real EPUB / MHTML / ODS / ODP / TAR
+    / gzip payloads never raise through extract_document — they route
+    to error rows or degrade, schema-complete either way (M44-M49)."""
+    import zlib
+
+    from text_extraction_ray.core.epub import build_epub
+    from text_extraction_ray.core.mhtml import build_mhtml
+    from text_extraction_ray.core.ods_odp import build_odp, build_ods
+
+    rng = random.Random(505)
+    page = (b"<html><body><p>fuzz page "
+            + b"the and of to in that it is was for " * 6
+            + b"</p></body></html>")
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    blobs = [
+        build_epub([("T", ["one & two", "three"]), ("U", ["four"])]),
+        build_mhtml(page, cte="quoted-printable"),
+        build_mhtml(page, cte="base64", start=True,
+                    extra_parts=[("image/png", b"\x89PNGxx")]),
+        build_ods([("S", [["a", 1, True], [None, "b"]])]),
+        build_odp([["slide", "line"]], with_notes=True),
+        co.compress(page) + co.flush(),
+    ]
+    for blob in blobs:
+        for _ in range(40):
+            data = bytearray(blob)
+            mode = rng.randrange(3)
+            if mode == 0:
+                data = data[:rng.randrange(1, len(data))]
+            elif mode == 1:
+                for _k in range(rng.randrange(1, 6)):
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+            else:
+                data = data[:rng.randrange(1, len(data))]
+                for _k in range(rng.randrange(1, 4)):
+                    if data:
+                        data[rng.randrange(len(data))] = rng.randrange(256)
+            r = extract_document(bytes(data), "en")
+            assert KEYS <= set(r)
+            assert isinstance(r["extracted_text"], str)
+            assert isinstance(r["parse_ok"], bool)
+
+
+def test_fuzz_tar_source_total():
+    """Mutated tarballs through tar_to_pages always yield a PAGES-shaped
+    table (possibly empty) — never an exception (S22)."""
+    from text_extraction_ray.sources.tar import tar_to_pages, write_tar
+
+    rng = random.Random(606)
+    blob = write_tar([("a/b.txt", 1_700_000_000, b"x" * 700),
+                      ("c.txt", 1_700_000_001, b"y" * 10)])
+    gz = write_tar([("d.txt", 0, b"z")], gzip_out=True)
+    for base in (blob, gz):
+        for _ in range(60):
+            data = bytearray(base)
+            if rng.random() < 0.5:
+                data = data[:rng.randrange(1, len(data))]
+            for _k in range(rng.randrange(0, 8)):
+                if data:
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+            tbl = tar_to_pages("f.tar" if base is blob else "f.tar.gz",
+                               bytes(data))
+            assert tbl.schema.names == ["url", "warc_ts", "html", "lang"]

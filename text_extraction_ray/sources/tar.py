@@ -120,8 +120,11 @@ def tar_to_pages(shard_name: str, data: bytes) -> pa.Table:
     urls, tss, bodies = [], [], []
     for name, mtime, body in iter_tar(data):
         urls.append(f"tar://{stem}/{name}")
+        # clamp to [epoch, year 2200]: mutated/garbage octal fields must
+        # not overflow datetime (found by test_fuzz_tar_source_total)
         tss.append(_dt.datetime(1970, 1, 1)
-                   + _dt.timedelta(seconds=min(mtime, 1 << 40)))
+                   + _dt.timedelta(seconds=min(max(mtime, 0),
+                                               7_258_118_400)))
         bodies.append(body)
     return pa.table({
         "url": pa.array(urls, type=pa.string()),
