@@ -183,3 +183,23 @@ def test_corpus_sweep_epub_and_mhtml_rows_extract():
             assert res["doc_type"] == t and res["parse_ok"]
             assert res["extracted_text"]
     assert counts["epub"] >= 3 and counts["mhtml"] >= 3
+
+
+def test_nav_document_excluded_from_spine():
+    """EPUB 3 §5.4: a properties="nav" manifest item in the spine is
+    the TOC — link boilerplate, not content — and must not extract."""
+    xml = ('<package><manifest>'
+           '<item id="nav" href="nav.xhtml" properties="nav"/>'
+           '<item id="c0" href="ch.xhtml"/>'
+           '</manifest><spine>'
+           '<itemref idref="nav"/><itemref idref="c0"/></spine>'
+           "</package>")
+    assert parse_opf(xml) == ["ch.xhtml"]
+    # a spine of ONLY the nav doc counts as empty (nothing readable)
+    only_nav = ('<package><manifest>'
+                '<item id="nav" href="nav.xhtml" properties="nav"/>'
+                '</manifest><spine><itemref idref="nav"/></spine>'
+                "</package>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_opf(only_nav)

@@ -81,17 +81,26 @@ def parse_opf(xml: str) -> list[str]:
 
     Manifest ids map to hrefs; spine itemrefs select and order them.
     Unknown idrefs are skipped (a torn manifest should not kill the
-    readable chapters).  Raises ValueError when the spine is empty."""
+    readable chapters), and so are NAVIGATION documents
+    (``properties="nav"`` manifest items, EPUB 3 §5.4 — publishers may
+    place the TOC in the spine; it is link boilerplate, not content).
+    Raises ValueError when the spine is empty."""
     xml = xml[:_XML_CAP]
     hrefs: dict[str, str] = {}
+    nav_ids: set[str] = set()
     for m in _ITEM_RE.finditer(xml):
         a = _attrs(m.group(1))
         if "id" in a and "href" in a:
             hrefs[a["id"]] = a["href"]
+            if "nav" in a.get("properties", "").split():
+                nav_ids.add(a["id"])
     order: list[str] = []
     for m in _ITEMREF_RE.finditer(xml):
         a = _attrs(m.group(1))
-        href = hrefs.get(a.get("idref", ""))
+        idref = a.get("idref", "")
+        if idref in nav_ids:
+            continue
+        href = hrefs.get(idref)
         if href is not None:
             order.append(href)
     if not order:
