@@ -131,3 +131,52 @@ def test_ods_build_parse_roundtrip(rows, deflate):
                 if norm:
                     want.append((ri + 1, ci + 1, norm))
     assert [(c["row"], c["col"], c["value"]) for c in cells] == want
+
+
+def test_flat_odf_routes_and_extracts():
+    """M50: flat ODF (single-file <office:document office:mimetype=...>)
+    routes to the same odt/ods/odp extractors — the grammar inside is
+    identical, only the container differs."""
+    flat_odt = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document office:mimetype='
+        '"application/vnd.oasis.opendocument.text" '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">'
+        "<office:body><office:text>"
+        "<text:h text:outline-level=\"1\">Flat title</text:h>"
+        "<text:p>flat body &amp; text</text:p>"
+        "</office:text></office:body></office:document>").encode()
+    assert sniff_doc_type(flat_odt) == "odt"
+    r = extract_document(flat_odt)
+    assert r["doc_type"] == "odt" and r["parse_ok"]
+    assert r["extracted_text"] == "Flat title" + JOINER + "flat body & text"
+
+    flat_ods = (
+        '<?xml version="1.0"?><office:document office:mimetype='
+        '"application/vnd.oasis.opendocument.spreadsheet">'
+        '<table:table table:name="F"><table:table-row>'
+        '<table:table-cell office:value-type="float" office:value="7"/>'
+        "<table:table-cell><text:p>flat cell</text:p></table:table-cell>"
+        "</table:table-row></table:table></office:document>").encode()
+    assert sniff_doc_type(flat_ods) == "ods"
+    r2 = extract_document(flat_ods)
+    assert r2["doc_type"] == "ods" and r2["parse_ok"]
+    assert r2["extracted_text"] == "F" + JOINER + "7" + JOINER + "flat cell"
+
+    flat_odp = (
+        '<office:document office:mimetype='
+        '"application/vnd.oasis.opendocument.presentation">'
+        '<draw:page draw:name="p1"><draw:frame><draw:text-box>'
+        "<text:p>flat slide</text:p>"
+        "</draw:text-box></draw:frame></draw:page>"
+        "</office:document>").encode()
+    assert sniff_doc_type(flat_odp) == "odp"
+    r3 = extract_document(flat_odp)
+    assert r3["doc_type"] == "odp" and r3["parse_ok"]
+    assert r3["extracted_text"] == "flat slide"
+
+    # a page merely MENTIONING office:mimetype in body text stays html
+    fake = (b"<html><body><p>about office:mimetype="
+            b'"application/vnd.oasis.opendocument.text" docs'
+            b"</p></body></html>")
+    assert sniff_doc_type(fake) == "html"

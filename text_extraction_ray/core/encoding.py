@@ -57,6 +57,10 @@ _FEED_ROOT_RE = re.compile(rb"<\s*(rss|feed)[\s>]", re.IGNORECASE)
 # first test; a page merely MENTIONING multipart/related never routes.
 MIME_FIELD_RE = re.compile(rb"^[!-9;-~]+:")
 MIME_HINT_RE = re.compile(rb"multipart/related", re.IGNORECASE)
+# flat ODF (M50): the root element declares its own mimetype
+_FLAT_ODF_RE = re.compile(
+    rb"office:mimetype\s*=\s*[\"']application/vnd\.oasis\.opendocument"
+    rb"\.(text|spreadsheet|presentation)[\"']")
 _XML_ENCODING_RE = re.compile(
     rb"<\?xml[^>]*encoding\s*=\s*[\"']([A-Za-z0-9._\-]+)[\"']",
     re.IGNORECASE)
@@ -163,6 +167,16 @@ def sniff_doc_type(payload: bytes) -> str:
         if stripped.startswith(b"<?xml") and \
                 _FEED_ROOT_RE.match(_skip_xml_misc(stripped)):
             return "feed"
+        # flat ODF (M50): single-file XML whose root is
+        # <office:document office:mimetype="..."> — route to the same
+        # extractors as the zipped family (they accept flat XML)
+        root = (_skip_xml_misc(stripped)
+                if stripped.startswith((b"<?", b"<!")) else stripped)
+        if root[:17].lower() == b"<office:document ":
+            fm = _FLAT_ODF_RE.search(head)
+            if fm:
+                return {b"text": "odt", b"spreadsheet": "ods",
+                        b"presentation": "odp"}[fm.group(1)]
     if _MARKUP_HINT_RE.search(head):
         return "html"
     if looks_like_text(payload):

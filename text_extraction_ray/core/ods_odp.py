@@ -162,13 +162,23 @@ def parse_ods(doc: str) -> list[dict]:
     return cells
 
 
+def _content_xml(payload: bytes, kind: str) -> str:
+    """Zipped package OR flat ODF (M50: a single ``<office:document``
+    XML file) → content XML text.  Raises ValueError on container
+    malformation."""
+    if payload.lstrip(b"\xef\xbb\xbf \t\r\n")[:1] == b"<":
+        from .encoding import decode_xml
+
+        return decode_xml(payload)[0]
+    entries = zip_entries(payload)
+    return zip_read(payload, _CONTENT, entries).decode("utf-8", "replace")
+
+
 def extract_ods(payload: bytes, joiner: str) -> dict:
     """Flagship-route assembly — the ``extract_xlsx`` conventions:
     per sheet, sheet name then non-empty cell values row-major."""
     try:
-        entries = zip_entries(payload)
-        xml = zip_read(payload, _CONTENT, entries).decode(
-            "utf-8", "replace")
+        xml = _content_xml(payload, "ods")
     except ValueError as exc:
         return {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
                 "n_blocks_dropped": 0, "parse_ok": False,
@@ -269,9 +279,7 @@ def extract_odp(payload: bytes, joiner: str) -> dict:
     """Flagship-route assembly — the ``extract_pptx`` conventions:
     non-empty paragraphs in slide order."""
     try:
-        entries = zip_entries(payload)
-        xml = zip_read(payload, _CONTENT, entries).decode(
-            "utf-8", "replace")
+        xml = _content_xml(payload, "odp")
     except ValueError as exc:
         return {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
                 "n_blocks_dropped": 0, "parse_ok": False,

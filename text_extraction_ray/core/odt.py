@@ -112,14 +112,22 @@ def parse_odt(doc: str) -> list[dict]:
 
 
 def extract_odt(payload: bytes, joiner: str) -> dict:
-    """bytes → the flagship extraction contract fields."""
-    try:
-        entries = zip_entries(payload)
-        xml = zip_read(payload, _CONTENT, entries).decode("utf-8", "replace")
-    except ValueError as exc:
-        return {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
-                "n_blocks_dropped": 0, "parse_ok": False,
-                "error": f"odt: {exc}"}
+    """bytes → the flagship extraction contract fields.  Accepts both
+    the zipped package and FLAT ODF (M50: a single ``<office:document``
+    XML file — the paragraph grammar is identical)."""
+    if payload.lstrip(b"\xef\xbb\xbf \t\r\n")[:1] == b"<":
+        from .encoding import decode_xml
+
+        xml, _ = decode_xml(payload)
+    else:
+        try:
+            entries = zip_entries(payload)
+            xml = zip_read(payload, _CONTENT, entries).decode(
+                "utf-8", "replace")
+        except ValueError as exc:
+            return {"extracted_text": "", "spans": [],
+                    "n_blocks_kept": 0, "n_blocks_dropped": 0,
+                    "parse_ok": False, "error": f"odt: {exc}"}
     paras = parse_odt(xml)
     pieces = [p["text"] for p in paras if p["text"]]
     dropped = len(paras) - len(pieces)
