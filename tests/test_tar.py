@@ -129,3 +129,39 @@ def test_checkpointed_job_reads_tar_shards(ray_session, tmp_path):
     assert len(a) == 40
     assert a["url"].tolist() == b["url"].tolist()
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+
+
+def test_streaming_reader_matches_in_memory():
+    """iter_tar_stream over plain and gzip shards yields EXACTLY what
+    iter_tar yields on the whole buffer, with bounded per-call reads
+    (the iter_warc_stream parity discipline)."""
+    import io as _io
+
+    from text_extraction_ray.sources.tar import (_GzipStream, iter_tar,
+                                                 iter_tar_stream)
+
+    members = [("docs/" + "n" * 120 + ".txt", 1_700_000_000, b"long name"),
+               ("a.txt", 1_700_000_001, b"x" * 1500),
+               ("b/c.txt", 1_700_000_002, b""),
+               ("d.txt", 1_700_000_003, b"tail")]
+    blob = write_tar(members)
+
+    class _Counting(_io.BytesIO):
+        max_read = 0
+
+        def read(self, n=-1):
+            self.max_read = max(self.max_read, n if n and n > 0 else 0)
+            return super().read(n)
+
+    fh = _Counting(blob)
+    got = list(iter_tar_stream(fh))
+    assert got == list(iter_tar(blob)) == members
+    assert fh.max_read <= 2048  # header/body-sized reads, never the file
+
+    gz = write_tar(members, gzip_out=True)
+    got_gz = list(iter_tar_stream(_GzipStream(_io.BytesIO(gz))))
+    assert got_gz == members
+    # torn gzip tail: decoded prefix salvages
+    got_torn = list(iter_tar_stream(_GzipStream(_io.BytesIO(gz[:-40]))))
+    assert [m[0] for m in got_torn] == [m[0] for m in members][:len(got_torn)]
+    assert len(got_torn) >= 1

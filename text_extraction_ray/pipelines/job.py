@@ -219,16 +219,37 @@ def _iter_shard_tables(shard: str):
                 "%s: skipped %d malformed csv row(s)", shard, n_bad)
         return
     if shard.endswith((".tar", ".tar.gz", ".tgz")):
-        from ..sources.tar import tar_to_pages
+        import datetime as _dt
 
-        # document-dump tarballs (S22): one member per document; the
-        # whole shard reads once (tar has no record-level framing to
-        # stream against), then chunks flow row-group-sized like the
-        # other formats
-        with open(shard, "rb") as fh:
-            tbl = tar_to_pages(shard, fh.read())
-        for start in range(0, tbl.num_rows, _ROWGROUP_BATCH):
-            yield tbl.slice(start, _ROWGROUP_BATCH)
+        from ..sources.tar import open_tar_stream
+
+        # document-dump tarballs (S22): one member per document,
+        # STREAMED header-by-header (tar is a sequence of fixed
+        # 512-byte blocks; .tar.gz wraps a streaming gunzip) — memory
+        # stays ~one member + a chunk, the iter_warc_stream discipline
+        stem = shard.rsplit("/", 1)[-1]
+        for suf in (".tar.gz", ".tgz", ".tar"):
+            if stem.endswith(suf):
+                stem = stem[: -len(suf)]
+                break
+        fh, members = open_tar_stream(shard)
+        try:
+            rows = {"url": [], "warc_ts": [], "html": [], "lang": []}
+            for name, mtime, body in members:
+                rows["url"].append(f"tar://{stem}/{name}")
+                rows["warc_ts"].append(
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                        seconds=min(max(mtime, 0), 7_258_118_400)))
+                rows["html"].append(body)
+                rows["lang"].append("")
+                if len(rows["url"]) >= _ROWGROUP_BATCH:
+                    yield _pages_chunk(rows)
+                    rows = {"url": [], "warc_ts": [], "html": [],
+                            "lang": []}
+            if rows["url"]:
+                yield _pages_chunk(rows)
+        finally:
+            fh.close()
         return
     pf = pq.ParquetFile(shard)
     for rb in pf.iter_batches(batch_size=_ROWGROUP_BATCH,

@@ -97,6 +97,102 @@ def iter_tar(data: bytes):
         yield name, mtime, body
 
 
+def iter_tar_stream(fh):
+    """Streaming variant of ``iter_tar`` over a binary file object:
+    memory stays ~one member (tar is a sequence of fixed 512-byte
+    blocks — no random access needed).  Yields (name, mtime, bytes)
+    for regular files; same GNU-L/pax/skip semantics as the in-memory
+    parser, torn tails salvage the decoded prefix.
+
+    ``.tar.gz`` shards wrap the file object in a streaming gunzip
+    first (`_GzipStream`), so the compressed shard never fully
+    materializes either — the iter_warc_stream discipline."""
+    pending_name: str | None = None
+    while True:
+        hdr = fh.read(_BLOCK)
+        if len(hdr) < _BLOCK or hdr == b"\x00" * _BLOCK:
+            return
+        size = _octal(hdr[124:136])
+        mtime = _octal(hdr[136:148])
+        typeflag = hdr[156:157]
+        name_raw = hdr[0:100].split(b"\x00", 1)[0]
+        prefix = hdr[345:500].split(b"\x00", 1)[0]
+        name = name_raw.decode("utf-8", "replace")
+        if prefix:
+            name = prefix.decode("utf-8", "replace") + "/" + name
+        padded = ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
+        body = fh.read(min(size, padded))
+        if len(body) >= size:
+            fh.read(padded - size)      # skip padding
+        if typeflag == b"L":
+            pending_name = body[:size].split(b"\x00", 1)[0].decode(
+                "utf-8", "replace")
+            continue
+        if typeflag == b"K":
+            continue
+        if typeflag in (b"x", b"g"):
+            for line in body[:size].split(b"\n"):
+                sp = line.find(b" ")
+                if sp > 0 and line[sp + 1:].startswith(b"path="):
+                    pending_name = line[sp + 6:].decode(
+                        "utf-8", "replace")
+            continue
+        if typeflag not in (b"0", b"\x00"):
+            pending_name = None
+            continue
+        if pending_name is not None:
+            name, pending_name = pending_name, None
+        if len(body) < size:            # torn tail: salvage prefix
+            if body:
+                yield name, mtime, body[:size]
+            return
+        yield name, mtime, body[:size]
+
+
+class _GzipStream:
+    """Minimal streaming gunzip file-object wrapper (read(n) only),
+    bounded per-chunk; a corrupt tail ends the stream (salvage)."""
+
+    def __init__(self, fh, chunk: int = 1 << 20) -> None:
+        self._fh = fh
+        self._chunk = chunk
+        self._d = zlib.decompressobj(31)
+        self._buf = bytearray()
+        self._eof = False
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n and not self._eof:
+            raw = self._d.unconsumed_tail or self._fh.read(self._chunk)
+            if not raw:
+                self._eof = True
+                break
+            try:
+                self._buf += self._d.decompress(raw, self._chunk)
+            except zlib.error:
+                self._eof = True
+                break
+            if self._d.eof:
+                # concatenated gzip members (tar.gz is usually one
+                # stream, but members cost nothing to support)
+                tail = self._d.unused_data.lstrip(b"\x00")
+                if tail[:2] == b"\x1f\x8b":
+                    self._d = zlib.decompressobj(31)
+                    self._buf += self._d.decompress(tail, self._chunk)
+                else:
+                    self._eof = True
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
+def open_tar_stream(path: str):
+    """Path → (file handle to close, streaming member iterator)."""
+    fh = open(path, "rb")
+    if path.endswith((".tar.gz", ".tgz")):
+        return fh, iter_tar_stream(_GzipStream(fh))
+    return fh, iter_tar_stream(fh)
+
+
 def _maybe_gunzip(data: bytes) -> bytes:
     if not data.startswith(b"\x1f\x8b"):
         return data
