@@ -158,3 +158,20 @@ def test_part_body_byte_recovery(data, cte):
     mh = build_mhtml(data, cte=cte)
     parts = parse_mhtml(mh)
     assert parts[0]["body"] == data
+
+
+def test_boundary_text_inside_body_does_not_split():
+    """RFC 2046 §5.1.1: the delimiter is line-anchored (CRLF--boundary)
+    — boundary TEXT occurring mid-line inside a 7bit body must not
+    split the part."""
+    evil = _PAGE.replace(b"</main>",
+                         b"<p>mentioning ----=_Part_0_1234 inline</p>"
+                         b"</main>")
+    assert b"--" in evil
+    mh = build_mhtml(evil, cte="7bit")
+    parts = parse_mhtml(mh)
+    assert len(parts) == 1
+    assert parts[0]["body"] == evil
+    live = extract_document(evil)
+    arch = extract_document(mh)
+    assert arch["extracted_text"] == live["extracted_text"]

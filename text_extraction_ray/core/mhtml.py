@@ -156,7 +156,14 @@ def parse_mhtml(payload: bytes) -> list[dict]:
     boundary = params.get("boundary", "")
     if not media.startswith("multipart/") or not boundary:
         raise ValueError("top content-type is not multipart with boundary")
-    delim = b"--" + boundary.encode("latin-1")
+    # RFC 2046 §5.1.1: the delimiter is CRLF + "--" + boundary — the
+    # line anchor is load-bearing (boundary TEXT occurring mid-line
+    # inside a QP/7bit body must not split the part); bare-LF archives
+    # fall back to the LF-anchored form
+    bnd = boundary.encode("latin-1")
+    delim = b"\r\n--" + bnd
+    if delim not in payload:
+        delim = b"\n--" + bnd
     parts: list[dict] = []
     chunks = payload[sep:].split(delim)
     # chunks[0] = preamble; final chunk after the closing delimiter
@@ -173,12 +180,9 @@ def parse_mhtml(payload: bytes) -> list[dict]:
         if body_start < 0:
             continue
         headers = parse_headers(chunk[:body_start].lstrip(b"\r\n"))
+        # the line break before the next delimiter was consumed BY the
+        # delimiter, so the body slice is exact
         body = chunk[body_start + skip:]
-        # the CRLF before the next delimiter belongs to the delimiter
-        if body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n"):
-            body = body[:-1]
         p_media, p_params = content_type_params(
             header_value(headers, "content-type"))
         parts.append({
