@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results) — 133 of 192 registered queries.  The
+    names as the Ray results) — 134 of 193 registered queries.  The
     driver's 50-row window is ALL oracled in round 5: 49 core-oracled
     queries plus extract_pages_parity, the flagship pipeline's
     value-level oracle (planted pages through the real actor-pool

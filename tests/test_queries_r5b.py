@@ -187,3 +187,27 @@ def test_routed_mode_covers_round5_doc_types(ray_session):
     # every row extracted real text through its own route
     assert set(a["doc_type"]) >= (want_types - {"gzip", "zstd"})
     assert (a["extracted_text"].str.len() > 0).all()
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_cross_label_align_duckdb_parity(ray_session, sf_dir):
+    """E7: max-cosine neighbour with a DIFFERENT label (the bitext
+    alignment shape) — argmax on the 4dp-rounded cosine with a
+    lowest-id tiebreak, so both engines decide identically."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM '{sf_dir}/embeddings.parquet'")
+    from text_extraction_ray.pipelines.queries_r5b import (
+        SQL_CROSS_LABEL_ALIGN, q_cross_label_align)
+
+    got = (q_cross_label_align(sf_dir).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    want = (con.execute(SQL_CROSS_LABEL_ALIGN + " ORDER BY vec_id")
+            .fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # non-vacuous: matches always carry a different label
+    lab = con.execute(
+        f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchdf().set_index("vec_id")["label"]
+    assert (lab.loc[got["vec_id"]].values
+            != lab.loc[got["match_id"]].values).all()

@@ -401,6 +401,78 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS k) t
 """
 
 
+# --- cross_label_align: bitext-mining shape (E7) --------------------------
+
+def q_cross_label_align(sf_dir: str) -> ray.data.Dataset:
+    """For every embedding, its max-cosine neighbour with a DIFFERENT
+    label — the cross-lingual/bitext alignment shape (mine the best
+    counterpart in the other corpus).  The corpus side broadcasts once
+    (``ray.put``, the embed_neardup discipline) and each batch runs ONE
+    rows×corpus matmul; selection uses the 4dp-ROUNDED cosine with a
+    lowest-id tiebreak so both engines make the identical argmax
+    decision.  At crawl scale the broadcast side is replaced by the ANN
+    stack (ann_batch_queries / LSH buckets) — documented, as with
+    embed_neardup."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .queries import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(all_ids)          # ascending ids → argmax ties
+    all_ids = all_ids[order]             # resolve to the LOWEST id
+    mat = np.asarray(t.column("embedding").to_pylist(),
+                     dtype=np.float64)[order]
+    labels = np.asarray(t.column("label").to_pylist(),
+                        dtype=np.int64)[order]
+    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                             1e-30)
+    ref = ray.put((all_ids, mat_n, labels))
+
+    def align(b: pa.Table) -> pa.Table:
+        ids_all, m_n, labs = ray.get(ref)
+        q_ids = np.asarray(b.column("vec_id").to_pylist(),
+                           dtype=np.int64)
+        q = np.asarray(b.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        q_labs = np.asarray(b.column("label").to_pylist(),
+                            dtype=np.int64)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                            1e-30)
+        sims = np.round(qn @ m_n.T, 4)
+        sims[q_labs[:, None] == labs[None, :]] = -2.0  # same label: out
+        best = np.argmax(sims, axis=1)   # first max → lowest vec_id
+        return pa.table({
+            "vec_id": pa.array(q_ids, type=pa.int64()),
+            "match_id": pa.array(ids_all[best], type=pa.int64()),
+            "cos": pa.array(sims[np.arange(len(q_ids)), best],
+                            type=pa.float64()),
+        })
+
+    return (read_table(sf_dir, "embeddings",
+                       ["vec_id", "embedding", "label"])
+            .map_batches(align, **_PYA))
+
+
+SQL_CROSS_LABEL_ALIGN = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS match_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])),
+               4) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+SELECT vec_id, match_id, cos FROM sims
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, match_id) = 1
+"""
+
+
 def queries_r5b() -> dict:
     return {"epub_chapters": q_epub_chapters,
             "mhtml_pages": q_mhtml_pages,
@@ -408,7 +480,8 @@ def queries_r5b() -> dict:
             "tar_source_stats": q_tar_source_stats,
             "ods_cells": q_ods_cells,
             "odp_paragraphs": q_odp_paragraphs,
-            "text_pages": q_text_pages}
+            "text_pages": q_text_pages,
+            "cross_label_align": q_cross_label_align}
 
 
 def parity_sql_r5b() -> dict[str, str]:
@@ -418,4 +491,5 @@ def parity_sql_r5b() -> dict[str, str]:
             "tar_source_stats": SQL_TAR_SOURCE_STATS,
             "ods_cells": SQL_ODS_CELLS,
             "odp_paragraphs": _sql_odp_paragraphs(),
-            "text_pages": SQL_TEXT_PAGES}
+            "text_pages": SQL_TEXT_PAGES,
+            "cross_label_align": SQL_CROSS_LABEL_ALIGN}
